@@ -1,0 +1,69 @@
+"""Multi-head attention ops.
+
+Replaces torch ``scaled_dot_product_attention`` (reference whisper/model.py:
+16-22,114-139).  The XLA path below is the numerics reference; the Pallas
+flash-attention kernel in :mod:`whisper_tpu.ops.flash_attention` is used for
+the encoder's 1500-token self-attention on TPU.  Unlike the reference — which
+must globally disable SDPA to recover attention weights for word timing
+(model.py:71-78) — the QK-scores path here is just a flag on the same
+function.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def qkv_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    return_qk: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Scaled dot-product attention over (..., heads, seq, head_dim).
+
+    Parameters
+    ----------
+    q : (B, H, Tq, D)
+    k : (B, H, Tk, D)
+    v : (B, H, Tk, D)
+    mask : optional additive mask broadcastable to (B, H, Tq, Tk); use -inf
+        (or large negative) for disallowed positions
+    return_qk : also return the pre-softmax scaled scores in float32
+        (used by word-level timing, mirroring reference timing.py:185-201)
+
+    Scores are accumulated and softmaxed in float32 regardless of the input
+    dtype (parity with reference model.py:130-135 which upcasts qk).
+    """
+    head_dim = q.shape[-1]
+    # the reference scales q and k each by d^-0.25 (model.py:118)
+    scale = head_dim**-0.25
+    qk = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q * scale,
+        k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        qk = qk + mask
+    qk = qk.astype(jnp.float32)
+    w = jax.nn.softmax(qk, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
+    out = out.astype(q.dtype)
+    return out, (qk if return_qk else None)
+
+
+def split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    """(B, T, C) -> (B, H, T, C//H)"""
+    b, t, c = x.shape
+    return x.reshape(b, t, n_head, c // n_head).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, T, D) -> (B, T, H*D)"""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)

@@ -1,0 +1,248 @@
+"""Transcript output writers: txt / vtt / srt / tsv / json.
+
+Behavioral parity target: reference ``whisper/utils.py:85-318``. The subtitle
+iterator reproduces the same line/word wrapping rules (max_line_width,
+max_line_count, max_words_per_line, ``<u>`` word highlighting) so that CLI
+outputs are drop-in compatible.
+"""
+
+import json
+import os
+import re
+from typing import Callable, Iterator, List, Optional, TextIO, Tuple
+
+from . import format_timestamp, get_start
+
+
+class ResultWriter:
+    extension: str
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+
+    def __call__(
+        self, result: dict, audio_path: str, options: Optional[dict] = None, **kwargs
+    ):
+        stem = os.path.splitext(os.path.basename(audio_path))[0]
+        output_path = os.path.join(self.output_dir, f"{stem}.{self.extension}")
+        with open(output_path, "w", encoding="utf-8") as f:
+            self.write_result(result, file=f, options=options, **kwargs)
+
+    def write_result(
+        self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs
+    ):
+        raise NotImplementedError
+
+
+class WriteTXT(ResultWriter):
+    extension = "txt"
+
+    def write_result(
+        self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs
+    ):
+        for segment in result["segments"]:
+            print(segment["text"].strip(), file=file, flush=True)
+
+
+class SubtitlesWriter(ResultWriter):
+    always_include_hours: bool
+    decimal_marker: str
+
+    def format_timestamp(self, seconds: float) -> str:
+        return format_timestamp(
+            seconds=seconds,
+            always_include_hours=self.always_include_hours,
+            decimal_marker=self.decimal_marker,
+        )
+
+    def iterate_result(
+        self,
+        result: dict,
+        options: Optional[dict] = None,
+        *,
+        max_line_width: Optional[int] = None,
+        max_line_count: Optional[int] = None,
+        highlight_words: bool = False,
+        max_words_per_line: Optional[int] = None,
+    ) -> Iterator[Tuple[str, str, str]]:
+        options = options or {}
+        max_line_width = max_line_width or options.get("max_line_width")
+        max_line_count = max_line_count or options.get("max_line_count")
+        highlight_words = highlight_words or options.get("highlight_words", False)
+        max_words_per_line = max_words_per_line or options.get("max_words_per_line")
+        # segments are preserved as subtitle boundaries unless BOTH line limits
+        # are given (reference whisper/utils.py:138)
+        preserve_segments = max_line_count is None or max_line_width is None
+        max_line_width = max_line_width or 1000
+        max_words_per_line = max_words_per_line or 1000
+
+        have_words = bool(result["segments"]) and "words" in result["segments"][0]
+        if not have_words:
+            for segment in result["segments"]:
+                yield (
+                    self.format_timestamp(segment["start"]),
+                    self.format_timestamp(segment["end"]),
+                    segment["text"].strip().replace("-->", "->"),
+                )
+            return
+
+        for subtitle in self._iterate_subtitles(
+            result,
+            max_line_width=max_line_width,
+            max_line_count=max_line_count,
+            max_words_per_line=max_words_per_line,
+            preserve_segments=preserve_segments,
+        ):
+            sub_start = self.format_timestamp(subtitle[0]["start"])
+            sub_end = self.format_timestamp(subtitle[-1]["end"])
+            sub_text = "".join(w["word"] for w in subtitle)
+            if not highlight_words:
+                yield sub_start, sub_end, sub_text
+                continue
+            # word-level karaoke: re-emit the subtitle once per word with that
+            # word underlined, bridging gaps with an un-highlighted copy
+            last = sub_start
+            all_words = [w["word"] for w in subtitle]
+            for i, this_word in enumerate(subtitle):
+                start = self.format_timestamp(this_word["start"])
+                end = self.format_timestamp(this_word["end"])
+                if last != start:
+                    yield last, start, sub_text
+                yield start, end, "".join(
+                    re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", word) if j == i else word
+                    for j, word in enumerate(all_words)
+                )
+                last = end
+
+    @staticmethod
+    def _iterate_subtitles(
+        result: dict,
+        *,
+        max_line_width: int,
+        max_line_count: Optional[int],
+        max_words_per_line: int,
+        preserve_segments: bool,
+    ) -> Iterator[List[dict]]:
+        line_len = 0
+        line_count = 1
+        subtitle: List[dict] = []
+        last: float = get_start(result["segments"]) or 0.0
+        for segment in result["segments"]:
+            chunk_index = 0
+            words_count = max_words_per_line
+            while chunk_index < len(segment["words"]):
+                remaining_words = len(segment["words"]) - chunk_index
+                if max_words_per_line > remaining_words:
+                    words_count = remaining_words
+                for i, original_timing in enumerate(
+                    segment["words"][chunk_index : chunk_index + words_count]
+                ):
+                    timing = original_timing.copy()
+                    long_pause = not preserve_segments and timing["start"] - last > 3.0
+                    has_room = line_len + len(timing["word"]) <= max_line_width
+                    seg_break = i == 0 and len(subtitle) > 0 and preserve_segments
+                    if line_len > 0 and has_room and not long_pause and not seg_break:
+                        # continue the current line
+                        line_len += len(timing["word"])
+                    else:
+                        timing["word"] = timing["word"].strip()
+                        if (
+                            len(subtitle) > 0
+                            and max_line_count is not None
+                            and (long_pause or line_count >= max_line_count)
+                            or seg_break
+                        ):
+                            yield subtitle
+                            subtitle = []
+                            line_count = 1
+                        elif line_len > 0:
+                            line_count += 1
+                            timing["word"] = "\n" + timing["word"]
+                        line_len = len(timing["word"].strip())
+                    subtitle.append(timing)
+                    last = timing["start"]
+                chunk_index += max_words_per_line
+        if subtitle:
+            yield subtitle
+
+
+class WriteVTT(SubtitlesWriter):
+    extension = "vtt"
+    always_include_hours = False
+    decimal_marker = "."
+
+    def write_result(
+        self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs
+    ):
+        print("WEBVTT\n", file=file)
+        for start, end, text in self.iterate_result(result, options, **kwargs):
+            print(f"{start} --> {end}\n{text}\n", file=file, flush=True)
+
+
+class WriteSRT(SubtitlesWriter):
+    extension = "srt"
+    always_include_hours = True
+    decimal_marker = ","
+
+    def write_result(
+        self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs
+    ):
+        for i, (start, end, text) in enumerate(
+            self.iterate_result(result, options, **kwargs), start=1
+        ):
+            print(f"{i}\n{start} --> {end}\n{text}\n", file=file, flush=True)
+
+
+class WriteTSV(ResultWriter):
+    """Integer-millisecond TSV: ``start\\tend\\ttext`` per segment.
+
+    Integer milliseconds avoid locale-dependent decimal markers
+    (reference ``whisper/utils.py:265-284``).
+    """
+
+    extension = "tsv"
+
+    def write_result(
+        self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs
+    ):
+        print("start", "end", "text", sep="\t", file=file)
+        for segment in result["segments"]:
+            print(round(1000 * segment["start"]), file=file, end="\t")
+            print(round(1000 * segment["end"]), file=file, end="\t")
+            print(segment["text"].strip().replace("\t", " "), file=file, flush=True)
+
+
+class WriteJSON(ResultWriter):
+    extension = "json"
+
+    def write_result(
+        self, result: dict, file: TextIO, options: Optional[dict] = None, **kwargs
+    ):
+        json.dump(result, file)
+
+
+_WRITERS = {
+    "txt": WriteTXT,
+    "vtt": WriteVTT,
+    "srt": WriteSRT,
+    "tsv": WriteTSV,
+    "json": WriteJSON,
+}
+
+
+def get_writer(
+    output_format: str, output_dir: str
+) -> Callable[[dict, TextIO, dict], None]:
+    """Return a writer callable; ``"all"`` fans out to every format."""
+    if output_format == "all":
+        all_writers = [w(output_dir) for w in _WRITERS.values()]
+
+        def write_all(
+            result: dict, file: TextIO, options: Optional[dict] = None, **kwargs
+        ):
+            for writer in all_writers:
+                writer(result, file, options, **kwargs)
+
+        return write_all
+
+    return _WRITERS[output_format](output_dir)
