@@ -1,0 +1,551 @@
+"""The Whisper encoder-decoder Transformer as functional JAX.
+
+Architecture parity target: reference ``whisper/model.py:174-249`` (AudioEncoder,
+TextDecoder, MultiHeadAttention, ResidualAttentionBlock).  Design is TPU-first,
+not a port:
+
+- parameters are a pytree of arrays with per-layer weights **stacked** along a
+  leading layer axis, applied with ``lax.scan`` (fast compiles for 32-layer
+  models, natural sharding axes for tensor parallelism);
+- the KV cache is a preallocated ``(layers, batch, n_text_ctx, heads, head_dim)``
+  array updated with ``dynamic_update_slice`` — replacing the reference's
+  forward-hook dict cache (model.py:310-341);
+- LayerNorm computes in float32 regardless of activation dtype (parity with
+  the fp16-aware subclasses at model.py:39-41), attention scores accumulate in
+  float32 (model.py:130-135), and logits are float32 (model.py:245-247);
+- cross-attention K/V are computed once per segment from the encoder output
+  (replacing the "shape > n_text_ctx" hook heuristic at model.py:327-333);
+- the teacher-forced forward can return cross-attention scores for selected
+  alignment heads directly (replacing the disable-SDPA + hooks dance at
+  model.py:71-78 / timing.py:185-201).
+"""
+
+import base64
+import gzip
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import merge_heads, qkv_attention, split_heads
+from .dims import ModelDimensions
+
+Params = Dict[str, Any]
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def sinusoids(length: int, channels: int, max_timescale: int = 10000) -> np.ndarray:
+    """Sinusoidal position embeddings (reference model.py:62-68)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(
+        -log_timescale_increment * np.arange(channels // 2, dtype=np.float32)
+    )
+    scaled_time = (
+        np.arange(length, dtype=np.float32)[:, None] * inv_timescales[None, :]
+    )
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+    """LayerNorm with float32 statistics, output cast back to input dtype."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    x = x * g.astype(jnp.float32) + b.astype(jnp.float32)
+    return x.astype(orig_dtype)
+
+
+def _linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    # torch F.gelu defaults to the exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+class KVCache(NamedTuple):
+    """Preallocated decoder cache, stored in attention layout.
+
+    self_k/self_v: (L, B, H, n_text_ctx, D) — autoregressive self-attention.
+    cross_k/cross_v: (L, B, H, n_audio_ctx, D) — computed once per segment.
+    """
+
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _encoder_block(x: jax.Array, p: Params, n_head: int) -> jax.Array:
+    """Pre-LN self-attention block (reference model.py:142-171, no cross-attn)."""
+    h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
+    q = split_heads(_linear(h, p["q_w"], p["q_b"]), n_head)
+    k = split_heads(_linear(h, p["k_w"]), n_head)
+    v = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
+    attn, _ = qkv_attention(q, k, v)
+    x = x + _linear(merge_heads(attn), p["o_w"], p["o_b"])
+
+    h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
+    h = _gelu(_linear(h, p["fc1_w"], p["fc1_b"]))
+    x = x + _linear(h, p["fc2_w"], p["fc2_b"])
+    return x
+
+
+def encoder_apply(params: Params, dims: ModelDimensions, mel: jax.Array) -> jax.Array:
+    """mel (B, n_mels, 3000) -> audio features (B, n_audio_ctx, n_audio_state).
+
+    Two stride-1/stride-2 convs + GELU, sinusoidal positions, N pre-LN blocks,
+    final LayerNorm (reference model.py:188-204).
+    """
+    enc = params["encoder"]
+    dtype = enc["conv1_w"].dtype
+    x = mel.astype(dtype).transpose(0, 2, 1)  # (B, T, n_mels), feature-last
+
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1_w"], window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + enc["conv1_b"].astype(dtype)
+    x = _gelu(x)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"], window_strides=(2,), padding=[(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + enc["conv2_b"].astype(dtype)
+    x = _gelu(x)
+
+    assert x.shape[1] == dims.n_audio_ctx, "incorrect audio shape"
+    x = x + enc["pos"].astype(dtype)
+
+    def scan_body(carry, block_params):
+        return _encoder_block(carry, block_params, dims.n_audio_head), None
+
+    x, _ = jax.lax.scan(scan_body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def compute_cross_kv(
+    params: Params, dims: ModelDimensions, audio_features: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-layer cross-attention K/V from encoder output: (L, B, Ta, H, D).
+
+    Computed once per segment and reused across all decode steps (replacing
+    the reference's first-call hook caching, model.py:101-109,327-333).
+    """
+    dec = params["decoder"]
+    h = dims.n_text_head
+
+    def scan_body(_, p):
+        k = split_heads(_linear(audio_features, p["xk_w"]), h)
+        v = split_heads(_linear(audio_features, p["xv_w"], p["xv_b"]), h)
+        return None, (k, v)
+
+    _, (xk, xv) = jax.lax.scan(scan_body, None, dec["blocks"])
+    return xk, xv
+
+
+def _decoder_block(
+    x: jax.Array,
+    p: Params,
+    n_head: int,
+    self_k: jax.Array,
+    self_v: jax.Array,
+    cross_k: jax.Array,
+    cross_v: jax.Array,
+    self_mask: Optional[jax.Array],
+    *,
+    return_cross_qk: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """One decoder block given externally-managed K/V.
+
+    self_k/self_v already include this block's keys/values for the query
+    positions (written by the caller), so the block only projects q.
+    """
+    h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
+    q = split_heads(_linear(h, p["q_w"], p["q_b"]), n_head)
+    attn, _ = qkv_attention(q, self_k, self_v, self_mask)
+    x = x + _linear(merge_heads(attn), p["o_w"], p["o_b"])
+
+    h = layer_norm(x, p["xattn_ln_g"], p["xattn_ln_b"])
+    xq = split_heads(_linear(h, p["xq_w"], p["xq_b"]), n_head)
+    xattn, cross_qk = qkv_attention(
+        xq, cross_k, cross_v, return_qk=return_cross_qk
+    )
+    x = x + _linear(merge_heads(xattn), p["xo_w"], p["xo_b"])
+
+    h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
+    h = _gelu(_linear(h, p["fc1_w"], p["fc1_b"]))
+    x = x + _linear(h, p["fc2_w"], p["fc2_b"])
+    return x, cross_qk
+
+
+def _embed_tokens(dec: Params, tokens: jax.Array, pos_start, length: int) -> jax.Array:
+    dtype = dec["tok_emb"].dtype
+    tok = dec["tok_emb"][tokens]
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_start, length, axis=0)
+    return (tok + pos[None, :, :]).astype(dtype)
+
+
+def decoder_prefill(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B, P) int32, right-padded; padding is never read back
+    cross_k: jax.Array,
+    cross_v: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Causal forward over a fixed-size prompt block.
+
+    Returns hidden states (B, P, C) and this prefix's self-attention K/V
+    stacked per layer (L, B, H, P, D), for installation into the KV cache.
+    Padding positions produce garbage rows that are masked out by position
+    everywhere downstream.
+    """
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    B, P = tokens.shape
+
+    x = _embed_tokens(dec, tokens, 0, P)
+    # additive causal mask (reference model.py:224-225)
+    causal = jnp.triu(jnp.full((P, P), NEG_INF, dtype=jnp.float32), k=1)
+
+    def scan_body(carry, p):
+        h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
+        k = split_heads(_linear(h, p["k_w"]), n_head)
+        v = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
+        x_out, _ = _decoder_block(
+            carry, p, n_head, k, v, p["_xk"], p["_xv"], causal
+        )
+        return x_out, (k, v)
+
+    blocks = dict(dec["blocks"])
+    blocks["_xk"] = cross_k
+    blocks["_xv"] = cross_v
+    x, (self_k, self_v) = jax.lax.scan(scan_body, x, blocks)
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    return x, self_k, self_v
+
+
+def decoder_step(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B,) int32 — the tokens at position t
+    t: jax.Array,  # scalar int32 current position
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """One autoregressive decode step at position t.
+
+    Writes this step's K/V into the cache at position t and attends over
+    positions 0..t.  Returns hidden state (B, C) after the final LayerNorm
+    and the updated cache.
+    """
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    B = tokens.shape[0]
+    n_ctx = dims.n_text_ctx
+
+    x = _embed_tokens(dec, tokens[:, None], t, 1)  # (B, 1, C)
+
+    # positions > t are either garbage (beyond the written prefix) or stale;
+    # mask them out of the attention
+    pos_mask = jnp.where(
+        jnp.arange(n_ctx)[None, None, None, :] <= t, 0.0, NEG_INF
+    ).astype(jnp.float32)
+
+    def scan_body(carry, layer):
+        p, cache_k_l, cache_v_l, xk_l, xv_l = layer
+        h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
+        k_new = split_heads(_linear(h, p["k_w"]), n_head)  # (B, H, 1, D)
+        v_new = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
+        k_full = jax.lax.dynamic_update_slice(
+            cache_k_l, k_new.astype(cache_k_l.dtype), (0, 0, t, 0)
+        )
+        v_full = jax.lax.dynamic_update_slice(
+            cache_v_l, v_new.astype(cache_v_l.dtype), (0, 0, t, 0)
+        )
+        x_out, _ = _decoder_block(
+            carry, p, n_head, k_full, v_full, xk_l, xv_l, pos_mask
+        )
+        return x_out, (k_new, v_new)
+
+    xs = (
+        params["decoder"]["blocks"],
+        cache.self_k,
+        cache.self_v,
+        cache.cross_k,
+        cache.cross_v,
+    )
+    x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+
+    # persist the new K/V at position t: k_new is (L, B, H, 1, D)
+    new_self_k = jax.lax.dynamic_update_slice(
+        cache.self_k, k_new.astype(cache.self_k.dtype), (0, 0, 0, t, 0)
+    )
+    new_self_v = jax.lax.dynamic_update_slice(
+        cache.self_v, v_new.astype(cache.self_v.dtype), (0, 0, 0, t, 0)
+    )
+    return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
+
+
+def project_logits(params: Params, hidden: jax.Array) -> jax.Array:
+    """hidden (..., C) -> logits (..., n_vocab), float32 (tied embeddings)."""
+    emb = params["decoder"]["tok_emb"]
+    return jnp.einsum(
+        "...c,vc->...v", hidden, emb.astype(hidden.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
+
+
+def decoder_forward(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B, T)
+    audio_features: jax.Array,
+    *,
+    alignment_heads: Optional[np.ndarray] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Full teacher-forced decoder pass.
+
+    Returns float32 logits (B, T, n_vocab) and, if ``alignment_heads`` (a
+    static (K, 2) array of (layer, head) pairs) is given, the float32
+    pre-softmax cross-attention scores for those heads: (K, B, T, Ta).
+    Replaces the reference's hook-based QK capture (timing.py:185-201).
+    """
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    B, T = tokens.shape
+
+    cross_k, cross_v = compute_cross_kv(params, dims, audio_features)
+    x = _embed_tokens(dec, tokens, 0, T)
+    causal = jnp.triu(jnp.full((T, T), NEG_INF, dtype=jnp.float32), k=1)
+
+    want_qk = alignment_heads is not None
+    if want_qk:
+        heads_by_layer = [
+            [int(h) for l, h in alignment_heads if l == layer]
+            for layer in range(dims.n_text_layer)
+        ]
+
+    # unrolled python loop: per-layer head selection is static, and this path
+    # (word timing) runs once per segment rather than once per token
+    qks = []
+    blocks = dec["blocks"]
+    for layer in range(dims.n_text_layer):
+        p = jax.tree.map(lambda a: a[layer], blocks)
+        h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
+        k = split_heads(_linear(h, p["k_w"]), n_head)
+        v = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
+        x, cross_qk = _decoder_block(
+            x, p, n_head, k, v, cross_k[layer], cross_v[layer], causal,
+            return_cross_qk=want_qk and bool(heads_by_layer[layer]),
+        )
+        if want_qk and heads_by_layer[layer]:
+            qks.append(cross_qk[:, jnp.array(heads_by_layer[layer]), :, :])
+
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = project_logits(params, x)
+
+    if want_qk:
+        # alignment_heads comes from np.nonzero and is therefore row-major
+        # (layer, head) sorted — the same order the reference stacks QKs in
+        # (timing.py:207); the concat below preserves it
+        stacked = jnp.concatenate(qks, axis=1)  # (B, K, T, Ta)
+        return logits, stacked.transpose(1, 0, 2, 3)
+    return logits, None
+
+
+def init_kv_cache(
+    dims: ModelDimensions,
+    batch: int,
+    cross_k: jax.Array,
+    cross_v: jax.Array,
+    dtype,
+) -> KVCache:
+    h, d = dims.n_text_head, dims.n_text_state // dims.n_text_head
+    shape = (dims.n_text_layer, batch, h, dims.n_text_ctx, d)
+    return KVCache(
+        self_k=jnp.zeros(shape, dtype=dtype),
+        self_v=jnp.zeros(shape, dtype=dtype),
+        # store cross K/V in attention layout (L, B, H, Ta, D)
+        cross_k=cross_k,
+        cross_v=cross_v,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / conversion helpers
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    dims: ModelDimensions, key: jax.Array, dtype=jnp.float32
+) -> Params:
+    """Random-init parameters (shapes only matter for tests/benchmarks)."""
+    c, ca = dims.n_text_state, dims.n_audio_state
+    keys = iter(jax.random.split(key, 64))
+
+    def w(*shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(
+            dtype
+        )
+
+    def enc_blocks(n_layer, c):
+        return {
+            "attn_ln_g": jnp.ones((n_layer, c), dtype),
+            "attn_ln_b": jnp.zeros((n_layer, c), dtype),
+            "q_w": w(n_layer, c, c), "q_b": jnp.zeros((n_layer, c), dtype),
+            "k_w": w(n_layer, c, c),
+            "v_w": w(n_layer, c, c), "v_b": jnp.zeros((n_layer, c), dtype),
+            "o_w": w(n_layer, c, c), "o_b": jnp.zeros((n_layer, c), dtype),
+            "mlp_ln_g": jnp.ones((n_layer, c), dtype),
+            "mlp_ln_b": jnp.zeros((n_layer, c), dtype),
+            "fc1_w": w(n_layer, c, 4 * c), "fc1_b": jnp.zeros((n_layer, 4 * c), dtype),
+            "fc2_w": w(n_layer, 4 * c, c), "fc2_b": jnp.zeros((n_layer, c), dtype),
+        }
+
+    dec_blocks = enc_blocks(dims.n_text_layer, c)
+    dec_blocks.update(
+        {
+            "xattn_ln_g": jnp.ones((dims.n_text_layer, c), dtype),
+            "xattn_ln_b": jnp.zeros((dims.n_text_layer, c), dtype),
+            "xq_w": w(dims.n_text_layer, c, c),
+            "xq_b": jnp.zeros((dims.n_text_layer, c), dtype),
+            "xk_w": w(dims.n_text_layer, c, c),
+            "xv_w": w(dims.n_text_layer, c, c),
+            "xv_b": jnp.zeros((dims.n_text_layer, c), dtype),
+            "xo_w": w(dims.n_text_layer, c, c),
+            "xo_b": jnp.zeros((dims.n_text_layer, c), dtype),
+        }
+    )
+
+    return {
+        "encoder": {
+            "conv1_w": w(3, dims.n_mels, ca),
+            "conv1_b": jnp.zeros((ca,), dtype),
+            "conv2_w": w(3, ca, ca),
+            "conv2_b": jnp.zeros((ca,), dtype),
+            "pos": jnp.asarray(sinusoids(dims.n_audio_ctx, ca), dtype),
+            "blocks": enc_blocks(dims.n_audio_layer, ca),
+            "ln_post_g": jnp.ones((ca,), dtype),
+            "ln_post_b": jnp.zeros((ca,), dtype),
+        },
+        "decoder": {
+            "tok_emb": w(dims.n_vocab, c),
+            "pos_emb": w(dims.n_text_ctx, c, scale=0.01),
+            "blocks": dec_blocks,
+            "ln_g": jnp.ones((c,), dtype),
+            "ln_b": jnp.zeros((c,), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# OO wrapper for API parity
+# ---------------------------------------------------------------------------
+
+
+class Whisper:
+    """API-parity wrapper around the functional model.
+
+    Mirrors reference ``whisper/model.py:252-345``: ``embed_audio``,
+    ``logits``, ``forward``/``__call__``, ``is_multilingual``,
+    ``num_languages``, ``set_alignment_heads``, and the attached
+    ``detect_language`` / ``decode`` / ``transcribe`` methods.
+    """
+
+    def __init__(self, dims: ModelDimensions, params: Optional[Params] = None,
+                 dtype=jnp.float32):
+        self.dims = dims
+        self.dtype = dtype
+        if params is None:
+            params = init_params(dims, jax.random.PRNGKey(0), dtype)
+        self.params = params
+        # default alignment heads: all heads of the upper half of the decoder
+        # (reference model.py:270-276)
+        mask = np.zeros((dims.n_text_layer, dims.n_text_head), dtype=bool)
+        mask[dims.n_text_layer // 2 :] = True
+        self.alignment_heads = np.stack(np.nonzero(mask), axis=1)  # (K, 2)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def set_alignment_heads(self, dump: bytes):
+        array = np.frombuffer(
+            gzip.decompress(base64.b85decode(dump)), dtype=bool
+        ).copy()
+        mask = array.reshape(self.dims.n_text_layer, self.dims.n_text_head)
+        self.alignment_heads = np.stack(np.nonzero(mask), axis=1)
+
+    # -- functional entry points -------------------------------------------
+
+    def embed_audio(self, mel: jax.Array) -> jax.Array:
+        single = mel.ndim == 2
+        if single:
+            mel = mel[None]
+        feats = self._jit("embed_audio", encoder_apply)(self.params, mel)
+        return feats[0] if single else feats
+
+    def logits(self, tokens: jax.Array, audio_features: jax.Array) -> jax.Array:
+        logits, _ = self._jit("forward", decoder_forward)(
+            self.params, jnp.asarray(tokens), audio_features
+        )
+        return logits
+
+    def forward(self, mel: jax.Array, tokens: jax.Array) -> jax.Array:
+        return self.logits(tokens, self.embed_audio(mel))
+
+    __call__ = forward
+
+    def _jit(self, name, fn):
+        if name not in self._jit_cache:
+            dims = self.dims
+            if name == "embed_audio":
+                self._jit_cache[name] = jax.jit(
+                    lambda p, mel: encoder_apply(p, dims, mel)
+                )
+            elif name == "forward":
+                self._jit_cache[name] = jax.jit(
+                    lambda p, tok, feats: decoder_forward(p, dims, tok, feats)
+                )
+        return self._jit_cache[name]
+
+    # -- metadata ----------------------------------------------------------
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.dims.n_vocab >= 51865
+
+    @property
+    def num_languages(self) -> int:
+        return self.dims.n_vocab - 51765 - int(self.is_multilingual)
+
+    @property
+    def device(self):
+        return jax.tree.leaves(self.params)[0].devices().pop()
+
+    def num_parameters(self) -> int:
+        return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(self.params))
+
+    # decode/transcribe/detect_language are attached by whisper_tpu.__init__
+    # (mirroring reference model.py:343-345) to avoid circular imports
