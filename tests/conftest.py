@@ -1,0 +1,39 @@
+import os
+import random as _random
+import sys
+
+import numpy as np
+import pytest
+
+# tests run on CPU: force the platform before any jax computation (the axon
+# TPU plugin otherwise wins regardless of JAX_PLATFORMS), and give sharding
+# tests an 8-device virtual mesh
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+JFK = os.path.join(os.path.dirname(__file__), "jfk.flac")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "reference: requires the reference checkout at /root/reference"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.path.isdir("/root/reference"):
+        return
+    skip = pytest.mark.skip(reason="reference checkout not available")
+    for item in items:
+        if "reference" in item.keywords:
+            item.add_marker(skip)
+
+
+@pytest.fixture
+def random():
+    _random.seed(42)
+    np.random.seed(42)

@@ -1,0 +1,142 @@
+"""Token-exactness of the on-device decode engine vs the reference.
+
+The reference cannot be run with real weights here (no network), so these
+tests build small random checkpoints, load them into both stacks, and demand
+token-for-token identical greedy/beam outputs at temperature 0 — the analog
+of BASELINE.json config #1 on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import whisper_tpu
+from whisper_tpu.models.whisper import Whisper
+
+pytestmark = pytest.mark.reference
+
+
+@pytest.fixture(scope="module")
+def models():
+    from _reference import TINY_DIMS, convert_to_jax, import_reference, make_reference_model
+
+    ref_whisper = import_reference()
+    ref_model = make_reference_model(TINY_DIMS)
+    params, dims = convert_to_jax(ref_model)
+    return ref_whisper, ref_model, Whisper(dims, params)
+
+
+@pytest.fixture(scope="module")
+def eot_models():
+    """A model biased toward EOT, so sequences actually finish."""
+    import torch
+
+    from _reference import TINY_DIMS, convert_to_jax, import_reference, make_reference_model
+
+    ref_whisper = import_reference()
+    ref_model = make_reference_model(TINY_DIMS, seed=3)
+    with torch.no_grad():
+        eot = ref_whisper.tokenizer.get_tokenizer(True).eot
+        ref_model.decoder.token_embedding.weight[eot] *= 12.0
+    params, dims = convert_to_jax(ref_model)
+    return ref_whisper, ref_model, Whisper(dims, params)
+
+
+@pytest.fixture(scope="module")
+def jfk_mel():
+    from conftest import JFK
+
+    audio = whisper_tpu.load_audio(JFK)
+    mel = np.asarray(whisper_tpu.log_mel_spectrogram(audio))
+    return whisper_tpu.pad_or_trim(mel, 3000)
+
+
+CONFIGS = [
+    dict(temperature=0.0),
+    dict(temperature=0.0, beam_size=5),
+    dict(temperature=0.0, without_timestamps=True),
+    dict(temperature=0.0, beam_size=3, patience=2.0),
+    dict(temperature=0.0, prompt="previous context text here"),
+    dict(temperature=0.0, prefix="so my fellow"),
+    dict(temperature=0.0, sample_len=20),
+    dict(temperature=0.0, max_initial_timestamp=None),
+    dict(temperature=0.0, suppress_tokens=None),
+    dict(temperature=0.0, task="translate", beam_size=2),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[str(c) for c in CONFIGS])
+def test_token_exact(models, jfk_mel, cfg):
+    import torch
+
+    ref_whisper, ref_model, model = models
+    base = dict(language="en", fp16=False)
+    ref_res = ref_whisper.decode(
+        ref_model, torch.from_numpy(jfk_mel.copy()),
+        ref_whisper.DecodingOptions(**base, **cfg),
+    )
+    res = model.decode(jfk_mel, whisper_tpu.DecodingOptions(**base, **cfg))
+    assert res.tokens == ref_res.tokens
+    assert abs(res.avg_logprob - ref_res.avg_logprob) < 1e-3
+    assert abs(res.no_speech_prob - ref_res.no_speech_prob) < 1e-4
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(temperature=0.0, beam_size=5),
+        dict(temperature=0.0, beam_size=4, patience=1.5),
+        dict(temperature=0.0, without_timestamps=True, beam_size=2),
+        dict(temperature=0.0),
+    ],
+)
+def test_token_exact_with_eot(eot_models, cfg):
+    """Exercise EOT finishing, beam patience budgets, and finalize top-up."""
+    import torch
+
+    ref_whisper, ref_model, model = eot_models
+    rng = np.random.RandomState(7)
+    for i in range(2):
+        mel = (rng.randn(80, 3000) * 0.5 + 0.2).astype(np.float32)
+        base = dict(language="en", fp16=False)
+        ref_res = ref_whisper.decode(
+            ref_model, torch.from_numpy(mel.copy()),
+            ref_whisper.DecodingOptions(**base, **cfg),
+        )
+        res = model.decode(mel, whisper_tpu.DecodingOptions(**base, **cfg))
+        assert res.tokens == ref_res.tokens, f"mel {i}"
+
+
+def test_batched_beam_search(eot_models):
+    """Batched beam search works here (the reference crashes on n_audio>1)."""
+    _, _, model = eot_models
+    mels = np.random.RandomState(7).randn(2, 80, 3000).astype(np.float32)
+    res = model.decode(
+        mels, whisper_tpu.DecodingOptions(language="en", temperature=0.0, beam_size=5)
+    )
+    assert len(res) == 2
+    assert all(isinstance(r.tokens, list) for r in res)
+
+
+def test_language_detection(eot_models):
+    import torch
+
+    ref_whisper, ref_model, model = eot_models
+    mel = (np.random.RandomState(9).randn(80, 3000) * 0.4).astype(np.float32)
+    ref_lt, ref_probs = ref_model.detect_language(torch.from_numpy(mel.copy()))
+    lt, probs = model.detect_language(mel)
+    assert max(probs, key=probs.get) == max(ref_probs, key=ref_probs.get)
+    top = max(probs, key=probs.get)
+    assert abs(probs[top] - ref_probs[top]) < 1e-4
+
+
+def test_option_validation(models):
+    _, _, model = models
+    mel = np.zeros((80, 3000), np.float32)
+    with pytest.raises(ValueError):
+        model.decode(mel, whisper_tpu.DecodingOptions(beam_size=5, best_of=5))
+    with pytest.raises(ValueError):
+        model.decode(mel, whisper_tpu.DecodingOptions(temperature=0, best_of=5))
+    with pytest.raises(ValueError):
+        model.decode(mel, whisper_tpu.DecodingOptions(patience=2.0))
+    with pytest.raises(ValueError):
+        model.decode(mel, whisper_tpu.DecodingOptions(length_penalty=2.0))

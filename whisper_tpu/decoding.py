@@ -1,0 +1,456 @@
+"""Segment decoding: options, orchestration, and result assembly.
+
+API parity target: reference ``whisper/decoding.py`` — ``DecodingOptions``
+(decoding.py:80-114), ``DecodingResult`` (117-127), ``decode()`` (792-826),
+``detect_language()`` (18-77) and the ``DecodingTask`` wiring (508-789).
+
+The per-token work lives on device in :mod:`whisper_tpu.engine`; this module
+is the thin host layer: building initial tokens and suppression masks,
+choosing the compiled engine variant, and converting fixed-shape device
+results back into ranked ``DecodingResult`` objects (including the beam
+finalize/tie-break semantics of reference decoding.py:384-404,190-213).
+"""
+
+from dataclasses import dataclass, field, replace
+from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import CHUNK_LENGTH
+from .engine import (
+    EngineSpec,
+    FilterArgs,
+    decode_engine,
+    detect_language_engine,
+    prefill_bucket,
+)
+from .tokenizer import Tokenizer, get_tokenizer
+from .utils import compression_ratio
+
+if TYPE_CHECKING:
+    from .models.whisper import Whisper
+
+
+def detect_language(model: "Whisper", mel, tokenizer: Tokenizer = None):
+    """Detect the spoken language from one decoder step at <|sot|>.
+
+    Returns (language_tokens (n_audio,), language_probs list-of-dicts), with
+    singleton squeezing — parity with reference decoding.py:18-77.
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(
+            model.is_multilingual, num_languages=model.num_languages
+        )
+    if (
+        tokenizer.language is None
+        or tokenizer.language_token not in tokenizer.sot_sequence
+    ):
+        raise ValueError(
+            "This model doesn't have language tokens so it can't perform lang id"
+        )
+
+    mel = jnp.asarray(mel)
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+    features_given = mel.shape[-2:] == (
+        model.dims.n_audio_ctx,
+        model.dims.n_audio_state,
+    )
+
+    language_mask = np.zeros(model.dims.n_vocab, dtype=bool)
+    language_mask[list(tokenizer.all_language_tokens)] = True
+
+    lang_tokens, lang_probs, _ = detect_language_engine(
+        model.params,
+        model.dims,
+        mel,
+        jnp.asarray(language_mask),
+        jnp.int32(tokenizer.sot),
+        features_given=features_given,
+    )
+    lang_tokens = np.asarray(lang_tokens)
+    lang_probs = np.asarray(lang_probs)
+
+    language_probs = [
+        {
+            c: float(lang_probs[i, j])
+            for j, c in zip(tokenizer.all_language_tokens, tokenizer.all_language_codes)
+        }
+        for i in range(mel.shape[0])
+    ]
+    if single:
+        return lang_tokens[0], language_probs[0]
+    return lang_tokens, language_probs
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    # field-for-field parity with reference decoding.py:80-114
+    task: str = "transcribe"  # "transcribe" or "translate"
+    language: Optional[str] = None
+
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None  # independent samples when t > 0
+    beam_size: Optional[int] = None  # beams when t == 0
+    patience: Optional[float] = None  # beam patience (arXiv:2204.05424)
+
+    length_penalty: Optional[float] = None  # Google-NMT alpha, or length norm
+
+    prompt: Optional[Union[str, List[int]]] = None  # previous-context prefix
+    prefix: Optional[Union[str, List[int]]] = None  # current-context prefix
+
+    suppress_tokens: Optional[Union[str, Iterable[int]]] = "-1"
+    suppress_blank: bool = True
+
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+    # kept for API compatibility; the compute dtype is chosen at model load
+    # time (bfloat16 on TPU replaces the reference's fp16, decoding.py:114)
+    fp16: bool = True
+
+
+@dataclass(frozen=True)
+class DecodingResult:
+    audio_features: Optional[np.ndarray]
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+class DecodingTask:
+    """Host orchestration of one segment-decoding configuration."""
+
+    def __init__(self, model: "Whisper", options: DecodingOptions):
+        self.model = model
+
+        language = options.language or "en"
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=options.task,
+        )
+        self.tokenizer: Tokenizer = tokenizer
+        self.options = self._verify_options(options)
+
+        self.n_group: int = options.beam_size or options.best_of or 1
+        self.n_ctx: int = model.dims.n_text_ctx
+        self.sample_len: int = options.sample_len or model.dims.n_text_ctx // 2
+
+        self.sot_sequence = tokenizer.sot_sequence
+        if self.options.without_timestamps:
+            self.sot_sequence = tokenizer.sot_sequence_including_notimestamps
+
+        self.initial_tokens = self._get_initial_tokens()
+        self.sample_begin: int = len(self.initial_tokens)
+        self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
+
+        # suppression masks (reference decoding.py:555-558,615-642)
+        n_vocab = model.dims.n_vocab
+        suppress_mask = np.zeros(n_vocab, dtype=bool)
+        if self.options.suppress_tokens:
+            suppress_mask[list(self._get_suppress_tokens())] = True
+        blank_mask = np.zeros(n_vocab, dtype=bool)
+        if self.options.suppress_blank:
+            blank_mask[tokenizer.encode(" ") + [tokenizer.eot]] = True
+        self._suppress_mask = jnp.asarray(suppress_mask)
+        self._blank_mask = jnp.asarray(blank_mask)
+
+        max_initial_ts_index = -1
+        if not options.without_timestamps and options.max_initial_timestamp:
+            precision = CHUNK_LENGTH / model.dims.n_audio_ctx  # 0.02 s
+            max_initial_ts_index = round(options.max_initial_timestamp / precision)
+        self._max_initial_ts_index = max_initial_ts_index
+
+        beam = options.beam_size or 0
+        patience = options.patience or 1.0
+        max_candidates = round(beam * patience) if beam else 0
+        if beam:
+            assert max_candidates > 0, (
+                f"Invalid beam size ({beam}) or patience ({patience})"
+            )
+
+        self.spec = EngineSpec(
+            beam_size=beam,
+            n_group=self.n_group,
+            max_candidates=max_candidates,
+            prefill_len=prefill_bucket(len(self.initial_tokens), self.n_ctx),
+            argmax=options.temperature == 0,
+            use_ts_rules=not options.without_timestamps,
+            eot=tokenizer.eot,
+            sot=tokenizer.sot,
+            no_speech=tokenizer.no_speech if tokenizer.no_speech is not None else -1,
+            no_timestamps=tokenizer.no_timestamps,
+            timestamp_begin=tokenizer.timestamp_begin,
+        )
+
+    # -- option/token assembly (parity with decoding.py:572-642) -----------
+
+    def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
+        if options.temperature == 0:
+            if options.best_of is not None:
+                raise ValueError("best_of with greedy sampling (T=0) is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
+        if options.length_penalty is not None and not (
+            0 <= options.length_penalty <= 1
+        ):
+            raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        return options
+
+    def _get_initial_tokens(self):
+        tokens = list(self.sot_sequence)
+
+        if prefix := self.options.prefix:
+            prefix_tokens = (
+                self.tokenizer.encode(" " + prefix.strip())
+                if isinstance(prefix, str)
+                else prefix
+            )
+            if self.sample_len is not None:
+                max_prefix_len = self.n_ctx // 2 - self.sample_len
+                prefix_tokens = prefix_tokens[-max_prefix_len:]
+            tokens = tokens + prefix_tokens
+
+        if prompt := self.options.prompt:
+            prompt_tokens = (
+                self.tokenizer.encode(" " + prompt.strip())
+                if isinstance(prompt, str)
+                else prompt
+            )
+            tokens = (
+                [self.tokenizer.sot_prev]
+                + prompt_tokens[-(self.n_ctx // 2 - 1) :]
+                + tokens
+            )
+
+        return tuple(tokens)
+
+    def _get_suppress_tokens(self):
+        suppress_tokens = self.options.suppress_tokens
+
+        if isinstance(suppress_tokens, str):
+            suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+
+        if -1 in suppress_tokens:
+            suppress_tokens = [t for t in suppress_tokens if t >= 0]
+            suppress_tokens.extend(self.tokenizer.non_speech_tokens)
+        elif suppress_tokens is None or len(suppress_tokens) == 0:
+            suppress_tokens = []
+        else:
+            assert isinstance(suppress_tokens, list), "suppress_tokens must be a list"
+
+        suppress_tokens.extend(
+            [
+                self.tokenizer.transcribe,
+                self.tokenizer.translate,
+                self.tokenizer.sot,
+                self.tokenizer.sot_prev,
+                self.tokenizer.sot_lm,
+            ]
+        )
+        if self.tokenizer.no_speech is not None:
+            suppress_tokens.append(self.tokenizer.no_speech)
+
+        return tuple(sorted(set(suppress_tokens)))
+
+    # -- run ---------------------------------------------------------------
+
+    def run(self, mel) -> List[DecodingResult]:
+        tokenizer = self.tokenizer
+        mel = jnp.asarray(mel)
+        n_audio = mel.shape[0]
+        features_given = mel.shape[-2:] == (
+            self.model.dims.n_audio_ctx,
+            self.model.dims.n_audio_state,
+        )
+
+        # per-audio initial tokens (language id may rewrite the lang slot)
+        initial = np.tile(
+            np.asarray(self.initial_tokens, np.int32), (n_audio, 1)
+        )
+        languages = [self.options.language] * n_audio
+        language_probs = None
+        audio_features = None
+
+        if self.options.language is None or self.options.task == "lang_id":
+            language_mask = np.zeros(self.model.dims.n_vocab, dtype=bool)
+            language_mask[list(tokenizer.all_language_tokens)] = True
+            lang_tokens, lang_probs_arr, audio_features = detect_language_engine(
+                self.model.params,
+                self.model.dims,
+                mel,
+                jnp.asarray(language_mask),
+                jnp.int32(tokenizer.sot),
+                features_given=features_given,
+            )
+            lang_tokens = np.asarray(lang_tokens)
+            lang_probs_arr = np.asarray(lang_probs_arr)
+            language_probs = [
+                {
+                    c: float(lang_probs_arr[i, j])
+                    for j, c in zip(
+                        tokenizer.all_language_tokens, tokenizer.all_language_codes
+                    )
+                }
+                for i in range(n_audio)
+            ]
+            languages = [max(p, key=p.get) for p in language_probs]
+            if self.options.language is None:
+                initial[:, self.sot_index + 1] = lang_tokens
+
+        if self.options.task == "lang_id":
+            feats = np.asarray(audio_features)
+            return [
+                DecodingResult(
+                    audio_features=feats[i], language=languages[i],
+                    language_probs=language_probs[i],
+                )
+                for i in range(n_audio)
+            ]
+
+        # pad initial tokens to the prefill bucket
+        P = self.spec.prefill_len
+        initial_padded = np.zeros((n_audio, P), np.int32)
+        initial_padded[:, : self.sample_begin] = initial
+
+        result = decode_engine(
+            self.model.params,
+            self.model.dims,
+            self.spec,
+            mel,
+            jnp.asarray(initial_padded),
+            jnp.int32(self.sample_begin),
+            jnp.int32(self.sot_index),
+            jnp.int32(self.sample_len),
+            jnp.float32(self.options.temperature),
+            FilterArgs(
+                suppress_mask=self._suppress_mask,
+                blank_mask=self._blank_mask,
+                sample_begin=jnp.int32(self.sample_begin),
+                max_initial_ts_index=jnp.int32(self._max_initial_ts_index),
+            ),
+            jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)),
+            features_given=features_given,
+        )
+        return self._assemble(result, languages, language_probs, n_audio)
+
+    # -- host finalize (parity with decoding.py:384-404,712-789) ------------
+
+    def _assemble(self, result, languages, language_probs, n_audio):
+        tokenizer = self.tokenizer
+        eot = tokenizer.eot
+        sb = self.sample_begin
+        G = self.n_group
+
+        tokens_buf = np.asarray(result.tokens)  # (B, n_ctx+1)
+        seq_len = int(result.seq_len)
+        sum_logprobs = np.asarray(result.sum_logprobs)
+        no_speech_probs = np.asarray(result.no_speech_probs)
+        audio_features = np.asarray(result.audio_features)
+
+        def trim(seq: List[int]) -> List[int]:
+            """slice [sample_begin : first EOT] (decoding.py:749-752)"""
+            seq = list(seq) + [eot]
+            return seq[sb : seq.index(eot, sb) if eot in seq[sb:] else len(seq)]
+
+        grouped_tokens: List[List[List[int]]] = []
+        grouped_scores: List[List[float]] = []
+
+        if self.spec.beam_size:
+            fin_tokens = np.asarray(result.fin_tokens)
+            fin_scores = np.asarray(result.fin_scores)
+            fin_count = np.asarray(result.fin_count)
+            beam = self.spec.beam_size
+            for i in range(n_audio):
+                seqs = [
+                    list(fin_tokens[i, j, :seq_len])
+                    for j in range(int(fin_count[i]))
+                ]
+                scores = [float(fin_scores[i, j]) for j in range(int(fin_count[i]))]
+                if len(seqs) < beam:
+                    # top-up with unfinished beams by score (decoding.py:384-395)
+                    group_lp = sum_logprobs[i * G : (i + 1) * G]
+                    for j in list(np.argsort(group_lp))[::-1]:
+                        seqs.append(
+                            list(tokens_buf[i * G + j, :seq_len]) + [eot]
+                        )
+                        scores.append(float(group_lp[j]))
+                        if len(seqs) >= beam:
+                            break
+                grouped_tokens.append([trim(s) for s in seqs])
+                grouped_scores.append(scores)
+        else:
+            for i in range(n_audio):
+                grouped_tokens.append(
+                    [trim(tokens_buf[i * G + j, :seq_len]) for j in range(G)]
+                )
+                grouped_scores.append(
+                    [float(sum_logprobs[i * G + j]) for j in range(G)]
+                )
+
+        # rank by sum_logprob with length penalty (decoding.py:190-213)
+        alpha = self.options.length_penalty
+
+        def score(lp: float, length: int) -> float:
+            penalty = length if alpha is None else ((5 + length) / 6) ** alpha
+            return lp / penalty
+
+        tokens: List[List[int]] = []
+        final_scores: List[float] = []
+        for seqs, scores in zip(grouped_tokens, grouped_scores):
+            ranked = int(
+                np.argmax([score(lp, len(s)) for lp, s in zip(scores, seqs)])
+            )
+            tokens.append([int(t) for t in seqs[ranked]])
+            final_scores.append(scores[ranked])
+
+        texts = [tokenizer.decode(t).strip() for t in tokens]
+        avg_logprobs = [
+            lp / (len(t) + 1) for t, lp in zip(tokens, final_scores)
+        ]
+
+        return [
+            DecodingResult(
+                audio_features=audio_features[i],
+                language=languages[i],
+                language_probs=language_probs[i] if language_probs else None,
+                tokens=tokens[i],
+                text=texts[i],
+                avg_logprob=avg_logprobs[i],
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=self.options.temperature,
+                compression_ratio=compression_ratio(texts[i]),
+            )
+            for i in range(n_audio)
+        ]
+
+
+def decode(
+    model: "Whisper",
+    mel,
+    options: DecodingOptions = DecodingOptions(),
+    **kwargs,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Decode 30-second mel segment(s); parity with reference decoding.py:792-826."""
+    mel = jnp.asarray(mel)
+    if single := mel.ndim == 2:
+        mel = mel[None]
+
+    if kwargs:
+        options = replace(options, **kwargs)
+
+    result = DecodingTask(model, options).run(mel)
+    return result[0] if single else result

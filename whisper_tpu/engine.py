@@ -1,0 +1,501 @@
+"""Device-side segment decoding engine: greedy and beam search inside one jit.
+
+This replaces the reference's per-token host loop (decoding.py:680-710), its
+Python logit filters (decoding.py:423-505), the hook-based KV cache
+(PyTorchInference, decoding.py:144-176), and the dict-based beam search
+(BeamSearchDecoder, decoding.py:301-404) with a single ``lax.while_loop``
+that runs entirely on the TPU:
+
+- fixed-shape token buffer (B, n_text_ctx+1) and preallocated KV cache;
+- the prompt/prefix prefill is one batched causal pass over a size-bucketed
+  block (MXU-friendly), not per-token steps;
+- logit filters are vectorized masks recomputed from the token buffer each
+  step — no Python-side state, so beam reordering needs no bookkeeping;
+- beam search uses stable sorts over fixed candidate arrays, reproducing the
+  reference's sorted-dict tie-breaking and patience semantics, with KV-cache
+  reordering as an on-device gather (skipped when the permutation is
+  identity);
+- encoder, prefill, and the token loop compile into one XLA program per
+  (model, batch, beam, prefill-bucket) configuration.
+
+Exactness notes: at temperature 0 the engine is designed to be token-exact
+with the reference on equal-precision parameters.  At temperature > 0 the
+sample distribution matches but the RNG differs (JAX threefry vs torch).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.dims import ModelDimensions
+from .models.whisper import (
+    KVCache,
+    NEG_INF,
+    compute_cross_kv,
+    decoder_prefill,
+    decoder_step,
+    encoder_apply,
+    init_kv_cache,
+    project_logits,
+)
+
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 448)
+
+
+def prefill_bucket(initial_len: int, n_text_ctx: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if initial_len <= b and b <= n_text_ctx:
+            return b
+    return n_text_ctx
+
+
+@dataclass(frozen=True)
+class EngineSpec:
+    """Static configuration of one compiled engine variant."""
+
+    beam_size: int  # 0 => greedy/sampling
+    n_group: int  # beam_size or best_of or 1
+    max_candidates: int  # beam finished-buffer size (round(beam * patience))
+    prefill_len: int  # bucketed initial-token block size
+    argmax: bool  # temperature == 0
+    use_ts_rules: bool  # timestamp rules active (not without_timestamps)
+    eot: int
+    sot: int
+    no_speech: int  # -1 if absent
+    no_timestamps: int
+    timestamp_begin: int
+
+
+class FilterArgs(NamedTuple):
+    """Dynamic inputs to the logit-filter chain (device arrays)."""
+
+    suppress_mask: jax.Array  # (V,) bool — SuppressTokens set
+    blank_mask: jax.Array  # (V,) bool — " " + EOT, applied at sample start
+    sample_begin: jax.Array  # scalar i32 == initial token length
+    max_initial_ts_index: jax.Array  # scalar i32, -1 if unlimited
+
+
+class EngineResult(NamedTuple):
+    tokens: jax.Array  # (B, n_ctx+1) i32 token buffer
+    seq_len: jax.Array  # scalar i32 — total length written
+    sum_logprobs: jax.Array  # (B,) f32
+    no_speech_probs: jax.Array  # (n_audio,) f32
+    audio_features: jax.Array  # (n_audio, Ta, C)
+    # beam-only finished buffers (size-1 placeholders in greedy mode)
+    fin_tokens: jax.Array  # (n_audio, max_cand, n_ctx+1) i32
+    fin_scores: jax.Array  # (n_audio, max_cand) f32
+    fin_count: jax.Array  # (n_audio,) i32
+
+
+class _LoopState(NamedTuple):
+    tokens: jax.Array
+    t: jax.Array
+    cache: KVCache
+    cur_logits: jax.Array  # (B, V) f32 — logits for the next selection
+    sum_logprobs: jax.Array
+    completed: jax.Array
+    key: jax.Array
+    fin_tokens: jax.Array
+    fin_scores: jax.Array
+    fin_count: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Logit filters (vectorized parity with reference decoding.py:423-505)
+# ---------------------------------------------------------------------------
+
+
+def _latest_timestamp(
+    tokens: jax.Array, t: jax.Array, sample_begin: jax.Array, ts_begin: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Most recent timestamp token in the sampled region [sample_begin, t).
+
+    Returns (has_any (B,) bool, value (B,) i32).  Recomputed from the token
+    buffer each step so that beam reordering carries no extra state.
+    """
+    positions = jnp.arange(tokens.shape[1])[None, :]
+    mask = (positions >= sample_begin) & (positions < t) & (tokens >= ts_begin)
+    last_pos = jnp.where(mask, positions, -1).max(axis=1)
+    has_any = last_pos >= 0
+    value = jnp.take_along_axis(
+        tokens, jnp.maximum(last_pos, 0)[:, None], axis=1
+    )[:, 0]
+    return has_any, value
+
+
+def apply_logit_filters(
+    spec: EngineSpec,
+    logits: jax.Array,  # (B, V) f32
+    tokens: jax.Array,  # (B, n_ctx+1)
+    t: jax.Array,  # scalar: current length (next write position)
+    f: FilterArgs,
+) -> jax.Array:
+    B, V = logits.shape
+    at_start = t == f.sample_begin
+    vocab = jnp.arange(V)
+
+    # SuppressBlank (decoding.py:423-430): " " and EOT at the sample start
+    logits = jnp.where(at_start & f.blank_mask[None, :], NEG_INF, logits)
+    # SuppressTokens (decoding.py:433-438): static suppression set
+    logits = jnp.where(f.suppress_mask[None, :], NEG_INF, logits)
+
+    if not spec.use_ts_rules:
+        return logits
+
+    ts_begin = spec.timestamp_begin
+    # ApplyTimestampRules (decoding.py:441-505), re-derived as masks:
+    # <|notimestamps|> is never sampled when rules are active
+    logits = jnp.where(vocab[None, :] == spec.no_timestamps, NEG_INF, logits)
+
+    prev = jnp.take_along_axis(
+        tokens, jnp.maximum(t - 1, 0)[None, None].repeat(B, 0), axis=1
+    )[:, 0]
+    penult = jnp.take_along_axis(
+        tokens, jnp.maximum(t - 2, 0)[None, None].repeat(B, 0), axis=1
+    )[:, 0]
+    sampled_len = t - f.sample_begin
+    last_was_ts = (sampled_len >= 1) & (prev >= ts_begin)
+    # fewer than two sampled tokens counts as "penultimate was timestamp"
+    penult_was_ts = (sampled_len < 2) | (penult >= ts_begin)
+
+    # timestamps come in pairs: after a lone timestamp, force a non-timestamp
+    # after a completed pair, forbid text (only EOT/specials/timestamps)
+    force_text = last_was_ts & penult_was_ts
+    force_non_text = last_was_ts & ~penult_was_ts
+    logits = jnp.where(
+        force_text[:, None] & (vocab[None, :] >= ts_begin), NEG_INF, logits
+    )
+    logits = jnp.where(
+        force_non_text[:, None] & (vocab[None, :] < spec.eot), NEG_INF, logits
+    )
+
+    # monotonicity: no timestamp below the most recent one; strictly above it
+    # unless we are mid-pair (decoding.py:477-484)
+    has_ts, last_ts = _latest_timestamp(tokens, t, f.sample_begin, ts_begin)
+    ts_floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
+    ts_mask = (
+        has_ts[:, None]
+        & (vocab[None, :] >= ts_begin)
+        & (vocab[None, :] < ts_floor[:, None])
+    )
+    logits = jnp.where(ts_mask, NEG_INF, logits)
+
+    # at the very start: timestamps only, capped by max_initial_timestamp
+    logits = jnp.where(at_start & (vocab[None, :] < ts_begin), NEG_INF, logits)
+    last_allowed = ts_begin + f.max_initial_ts_index
+    logits = jnp.where(
+        at_start & (f.max_initial_ts_index >= 0) & (vocab[None, :] > last_allowed),
+        NEG_INF,
+        logits,
+    )
+
+    # if the total timestamp probability outweighs any single text token,
+    # sample a timestamp (decoding.py:497-505)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(vocab[None, :] >= ts_begin, logprobs, NEG_INF), axis=-1
+    )
+    max_text_logprob = jnp.where(
+        vocab[None, :] < ts_begin, logprobs, NEG_INF
+    ).max(axis=-1)
+    force_ts = ts_logprob > max_text_logprob
+    logits = jnp.where(
+        force_ts[:, None] & (vocab[None, :] < ts_begin), NEG_INF, logits
+    )
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Token selection
+# ---------------------------------------------------------------------------
+
+
+def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature):
+    """GreedyDecoder.update parity (decoding.py:277-293)."""
+    tokens, t = state.tokens, state.t
+    key, subkey = jax.random.split(state.key)
+
+    if spec.argmax:
+        next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        next_tokens = jax.random.categorical(
+            subkey, logits / temperature, axis=-1
+        ).astype(jnp.int32)
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    current = jnp.take_along_axis(logprobs, next_tokens[:, None], axis=1)[:, 0]
+    prev = jnp.take_along_axis(
+        tokens, (t - 1)[None, None].repeat(tokens.shape[0], 0), axis=1
+    )[:, 0]
+    not_finished = prev != spec.eot
+    sum_logprobs = state.sum_logprobs + current * not_finished
+    next_tokens = jnp.where(not_finished, next_tokens, spec.eot)
+
+    tokens = jax.lax.dynamic_update_slice(tokens, next_tokens[:, None], (0, t))
+    completed = jnp.all(next_tokens == spec.eot)
+    return state._replace(
+        tokens=tokens,
+        t=t + 1,
+        sum_logprobs=sum_logprobs,
+        completed=completed,
+        key=key,
+    )
+
+
+def _beam_update(spec: EngineSpec, state: _LoopState, logits, initial_len):
+    """BeamSearchDecoder.update parity (decoding.py:323-382), fixed shapes.
+
+    Candidate order (beam-major, top-k rank within beam) plus a stable sort
+    reproduces the reference's sorted-dict iteration; the first update only
+    draws candidates from beam 0, which is equivalent to the reference's
+    dict-dedup across initially-identical beams.
+    """
+    beam = spec.beam_size
+    k = beam + 1
+    B = state.tokens.shape[0]
+    n_audio = B // beam
+    tokens, t = state.tokens, state.t
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)  # (B, V)
+    top_lp, top_tok = jax.lax.top_k(logprobs, k)  # (B, k)
+    cand_scores = state.sum_logprobs[:, None] + top_lp
+    # first update: all beams are identical — only beam 0 contributes
+    beam_idx = jnp.arange(B) % beam
+    first = t == initial_len
+    cand_scores = jnp.where(
+        (first & (beam_idx > 0))[:, None], NEG_INF, cand_scores
+    )
+
+    cand_scores = cand_scores.reshape(n_audio, beam * k)
+    cand_tok = top_tok.reshape(n_audio, beam * k).astype(jnp.int32)
+    order = jnp.argsort(-cand_scores, axis=-1, stable=True)
+    s_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+    s_tok = jnp.take_along_axis(cand_tok, order, axis=1)
+    s_src = order // k  # source beam within the audio group
+
+    is_eot = s_tok == spec.eot
+    saved_before = jnp.cumsum(~is_eot, axis=1) - (~is_eot).astype(jnp.int32)
+    processed = saved_before < beam  # reference stops after beam non-EOT saves
+
+    # --- new live beams: first `beam` non-EOT candidates in score order ---
+    new_mask = processed & ~is_eot
+    rank = jnp.cumsum(new_mask, axis=1)
+    sel = jax.vmap(
+        lambda r: jnp.searchsorted(r, jnp.arange(1, beam + 1))
+    )(rank)  # (n_audio, beam) positions into sorted arrays
+    sel_tok = jnp.take_along_axis(s_tok, sel, axis=1)  # (n_audio, beam)
+    sel_src = jnp.take_along_axis(s_src, sel, axis=1)
+    sel_score = jnp.take_along_axis(s_scores, sel, axis=1)
+
+    src_global = (
+        jnp.arange(n_audio)[:, None] * beam + sel_src
+    ).reshape(B)
+
+    # --- finished sequences: EOT candidates above the cut, appended in score
+    # order until the patience budget is full (decoding.py:367-375) ---
+    fin_mask = processed & is_eot
+    fin_rank = jnp.cumsum(fin_mask, axis=1)
+    write_pos = state.fin_count[:, None] + fin_rank - 1
+    write_pos = jnp.where(
+        fin_mask & (write_pos < spec.max_candidates), write_pos, spec.max_candidates
+    )
+    # finished row content: the source beam's tokens with EOT at position t
+    src_rows = (
+        jnp.arange(n_audio)[:, None] * beam + s_src
+    )  # (n_audio, beam*k) global rows
+    fin_rows = tokens[src_rows]  # (n_audio, beam*k, n_ctx+1)
+    fin_rows = jax.lax.dynamic_update_slice(
+        fin_rows,
+        jnp.full((n_audio, beam * k, 1), spec.eot, jnp.int32),
+        (0, 0, t),
+    )
+    fin_tokens = state.fin_tokens.at[
+        jnp.arange(n_audio)[:, None], write_pos
+    ].set(fin_rows, mode="drop")
+    fin_scores = state.fin_scores.at[
+        jnp.arange(n_audio)[:, None], write_pos
+    ].set(s_scores, mode="drop")
+    fin_added = jnp.sum(fin_mask & (write_pos < spec.max_candidates), axis=1)
+    fin_count = state.fin_count + fin_added.astype(jnp.int32)
+
+    # --- apply the beam permutation to tokens and KV cache ---
+    new_tokens = tokens[src_global]
+    new_tokens = jax.lax.dynamic_update_slice(
+        new_tokens, sel_tok.reshape(B, 1), (0, t)
+    )
+
+    identity = jnp.all(src_global == jnp.arange(B))
+
+    def reorder(cache):
+        return cache._replace(
+            self_k=cache.self_k[:, src_global],
+            self_v=cache.self_v[:, src_global],
+        )
+
+    cache = jax.lax.cond(identity, lambda c: c, reorder, state.cache)
+
+    completed = jnp.all(fin_count >= spec.max_candidates)
+    return state._replace(
+        tokens=new_tokens,
+        t=t + 1,
+        cache=cache,
+        sum_logprobs=sel_score.reshape(B),
+        completed=completed,
+        fin_tokens=fin_tokens,
+        fin_scores=fin_scores,
+        fin_count=fin_count,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The engine
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dims", "spec", "features_given"),
+)
+def decode_engine(
+    params,
+    dims: ModelDimensions,
+    spec: EngineSpec,
+    mel_or_features: jax.Array,  # (n_audio, n_mels, 3000) or (n_audio, Ta, C)
+    initial_tokens: jax.Array,  # (n_audio, prefill_len) i32, right-padded
+    initial_len: jax.Array,  # scalar i32
+    sot_index: jax.Array,  # scalar i32 (position of <|sot|>)
+    sample_len: jax.Array,  # scalar i32
+    temperature: jax.Array,  # scalar f32
+    filter_args: FilterArgs,
+    rng_key: jax.Array,
+    features_given: bool = False,
+) -> EngineResult:
+    """Decode one batch of 30-second segments entirely on device."""
+    n_audio = mel_or_features.shape[0]
+    G = spec.n_group
+    B = n_audio * G
+    n_ctx = dims.n_text_ctx
+    P = spec.prefill_len
+    compute_dtype = params["decoder"]["tok_emb"].dtype
+
+    # 1) encoder (or passthrough of precomputed features), at n_audio
+    if features_given:
+        audio_features = mel_or_features.astype(compute_dtype)
+    else:
+        audio_features = encoder_apply(params, dims, mel_or_features)
+
+    # 2) cross K/V once per audio, then prefill the prompt block at n_audio
+    xk, xv = compute_cross_kv(params, dims, audio_features)
+    hidden, pk, pv = decoder_prefill(params, dims, initial_tokens, xk, xv)
+
+    # no-speech probability from the unfiltered logits at the SOT position
+    # (reference decoding.py:689-693)
+    if spec.no_speech >= 0:
+        sot_hidden = jax.lax.dynamic_slice_in_dim(hidden, sot_index, 1, axis=1)
+        sot_probs = jax.nn.softmax(project_logits(params, sot_hidden)[:, 0], axis=-1)
+        no_speech_probs = sot_probs[:, spec.no_speech]
+    else:
+        no_speech_probs = jnp.full((n_audio,), jnp.nan, jnp.float32)
+
+    # logits for the first sampled position
+    last_hidden = jax.lax.dynamic_slice_in_dim(hidden, initial_len - 1, 1, axis=1)
+    first_logits = project_logits(params, last_hidden)[:, 0]  # (n_audio, V)
+
+    # 3) tile to n_audio * n_group rows (beam / best-of), install the cache
+    def tile(x, axis):
+        return jnp.repeat(x, G, axis=axis)
+
+    cache = init_kv_cache(dims, B, tile(xk, 1), tile(xv, 1), compute_dtype)
+    cache = cache._replace(
+        self_k=cache.self_k.at[:, :, :, :P, :].set(tile(pk, 1)),
+        self_v=cache.self_v.at[:, :, :, :P, :].set(tile(pv, 1)),
+    )
+
+    tokens = jnp.zeros((B, n_ctx + 1), jnp.int32)
+    tokens = tokens.at[:, :P].set(tile(initial_tokens, 0))
+    first_logits = tile(first_logits, 0)
+
+    n_fin = max(spec.max_candidates, 1)
+    state = _LoopState(
+        tokens=tokens,
+        t=initial_len,
+        cache=cache,
+        cur_logits=first_logits,
+        sum_logprobs=jnp.zeros((B,), jnp.float32),
+        completed=jnp.array(False),
+        key=rng_key,
+        fin_tokens=jnp.zeros((n_audio, n_fin, n_ctx + 1), jnp.int32),
+        fin_scores=jnp.full((n_audio, n_fin), -jnp.inf, jnp.float32),
+        fin_count=jnp.zeros((n_audio,), jnp.int32),
+    )
+
+    def cond(s: _LoopState):
+        return (
+            (~s.completed)
+            & (s.t - initial_len < sample_len)
+            & (s.t <= n_ctx)
+        )
+
+    def body(s: _LoopState):
+        filtered = apply_logit_filters(spec, s.cur_logits, s.tokens, s.t, filter_args)
+        if spec.beam_size > 0:
+            s = _beam_update(spec, s, filtered, initial_len)
+        else:
+            s = _greedy_update(spec, s, filtered, temperature)
+
+        # compute logits for the next step unless the loop is ending
+        def advance(s: _LoopState):
+            prev_tok = jax.lax.dynamic_slice(
+                s.tokens, (0, s.t - 1), (B, 1)
+            )[:, 0]
+            h, cache = decoder_step(params, dims, prev_tok, s.t - 1, s.cache)
+            return s._replace(cur_logits=project_logits(params, h), cache=cache)
+
+        s = jax.lax.cond(cond(s), advance, lambda s: s, s)
+        return s
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    return EngineResult(
+        tokens=state.tokens,
+        seq_len=state.t,
+        sum_logprobs=state.sum_logprobs,
+        no_speech_probs=no_speech_probs,
+        audio_features=audio_features,
+        fin_tokens=state.fin_tokens,
+        fin_scores=state.fin_scores,
+        fin_count=state.fin_count,
+    )
+
+
+@partial(jax.jit, static_argnames=("dims", "features_given"))
+def detect_language_engine(
+    params,
+    dims: ModelDimensions,
+    mel_or_features: jax.Array,
+    language_mask: jax.Array,  # (V,) bool — True at language tokens
+    sot: jax.Array,
+    features_given: bool = False,
+):
+    """Single decoder step from <|sot|>, masked to language tokens.
+
+    Parity with reference decoding.py:18-77.
+    """
+    from .models.whisper import decoder_forward
+
+    if features_given:
+        audio_features = mel_or_features.astype(params["decoder"]["tok_emb"].dtype)
+    else:
+        audio_features = encoder_apply(params, dims, mel_or_features)
+    n_audio = audio_features.shape[0]
+    tokens = jnp.full((n_audio, 1), sot, jnp.int32)
+    logits, _ = decoder_forward(params, dims, tokens, audio_features)
+    logits = logits[:, 0]  # (n_audio, V)
+    logits = jnp.where(language_mask[None, :], logits, NEG_INF)
+    language_tokens = jnp.argmax(logits, axis=-1)
+    language_probs = jax.nn.softmax(logits, axis=-1)
+    return language_tokens, language_probs, audio_features
