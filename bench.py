@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: real-time factor of greedy segment decoding on one chip.
+
+Measures the full serving path — log-mel front-end is excluded (negligible),
+the measured jit program is encoder + prompt prefill + N autoregressive
+decoder steps with logit filters, i.e. exactly what one 30-second window
+costs during `transcribe`.
+
+Metric: audio seconds transcribed per wall second per chip (RTF), batch of
+independent 30-second windows, large-v3 shapes, bfloat16, a fixed 110-token
+generation per window (a representative speech density; random weights don't
+emit EOT, so the token count is pinned for comparability).
+
+Baseline: the reference's README (README.md:62-71) publishes only *relative*
+speeds on A100; community measurements of openai/whisper large-v3 greedy on
+A100 cluster around 10x real-time single-stream.  vs_baseline is therefore
+our RTF / 10.0 — the north star in BASELINE.json (>=8x A100) corresponds to
+vs_baseline >= 8.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+A100_LARGE_V3_RTF = 10.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default=None, help="model name (default: by platform)")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--tokens", type=int, default=110)
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compilation cache: first-compile of the large engines takes
+    # minutes over the TPU tunnel; cached recompiles are seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    import whisper_tpu  # noqa: F401  (attaches methods)
+    from whisper_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_tpu.models.dims import KNOWN_MODELS
+    from whisper_tpu.models.whisper import Whisper, init_params
+
+    platform = jax.devices()[0].platform
+    model_name = args.model or ("large-v3" if platform == "tpu" else "tiny")
+    dims = KNOWN_MODELS[model_name]
+    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+    params = init_params(dims, jax.random.PRNGKey(0), dtype)
+    model = Whisper(dims, params, dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    mel = rng.randn(args.batch, dims.n_mels, 3000).astype(np.float32) * 0.3
+
+    options = DecodingOptions(
+        language="en", task="transcribe", temperature=0.0, sample_len=args.tokens
+    )
+    task = DecodingTask(model, options)
+
+    # warmup/compile
+    task.run(jnp.asarray(mel))
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        results = task.run(jnp.asarray(mel))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    audio_seconds = args.batch * 30.0
+    rtf = audio_seconds / best
+    print(
+        json.dumps(
+            {
+                "metric": f"rtf_{model_name.replace('-', '_')}_greedy_b{args.batch}",
+                "value": round(rtf, 2),
+                "unit": "audio_sec_per_sec_per_chip",
+                "vs_baseline": round(rtf / A100_LARGE_V3_RTF, 3),
+            }
+        )
+    )
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Sharding and training-step tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.models.dims import ModelDimensions
+from whisper_tpu.models.whisper import encoder_apply, init_params
+from whisper_tpu.parallel import make_mesh, shard_params
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_state=64,
+    n_text_head=4, n_text_layer=2,
+)
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs_8
+def test_tp_matches_single_device():
+    """Tensor-parallel encoder output must equal the unsharded one."""
+    params = init_params(DIMS, jax.random.PRNGKey(0))
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, 80, 3000), jnp.float32)
+
+    expected = np.asarray(encoder_apply(params, DIMS, mel))
+
+    mesh = make_mesh((4, 2))
+    sharded = shard_params(params, mesh)
+    with mesh:
+        got = np.asarray(jax.jit(lambda p, m: encoder_apply(p, DIMS, m))(sharded, mel))
+    np.testing.assert_allclose(expected, got, atol=2e-5)
+
+
+@needs_8
+def test_dryrun_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
+@needs_8
+def test_train_step_decreases_loss():
+    from whisper_tpu.training import (
+        init_train_state,
+        loss_fn,
+        make_optimizer,
+        train_step,
+    )
+
+    mesh = make_mesh((4, 2))
+    with mesh:
+        params = shard_params(init_params(DIMS, jax.random.PRNGKey(0)), mesh)
+        optimizer = make_optimizer(learning_rate=1e-3)
+        state = init_train_state(params, optimizer)
+        rng = np.random.RandomState(0)
+        batch = {
+            "mel": jnp.asarray(rng.randn(4, 80, 3000), jnp.float32),
+            "tokens": jnp.tile(
+                jnp.asarray(
+                    [50258, 50259, 50359, 50363, 440, 7177, 300, 50257], jnp.int32
+                ),
+                (4, 1),
+            ),
+            "loss_mask": jnp.ones((4, 8), jnp.float32),
+        }
+        loss0 = float(loss_fn(state.params, DIMS, batch))
+        for _ in range(3):
+            state, metrics = train_step(state, DIMS, optimizer, batch)
+        loss1 = float(metrics["loss"])
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert loss1 < loss0

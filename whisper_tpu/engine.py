@@ -447,16 +447,13 @@ def decode_engine(
         else:
             s = _greedy_update(spec, s, filtered, temperature)
 
-        # compute logits for the next step unless the loop is ending
-        def advance(s: _LoopState):
-            prev_tok = jax.lax.dynamic_slice(
-                s.tokens, (0, s.t - 1), (B, 1)
-            )[:, 0]
-            h, cache = decoder_step(params, dims, prev_tok, s.t - 1, s.cache)
-            return s._replace(cur_logits=project_logits(params, h), cache=cache)
-
-        s = jax.lax.cond(cond(s), advance, lambda s: s, s)
-        return s
+        # logits for the next step; unconditionally — a lax.cond here would
+        # make XLA copy the whole KV cache for the skip branch every
+        # iteration, which costs far more than the single wasted step after
+        # the final token
+        prev_tok = jax.lax.dynamic_slice(s.tokens, (0, s.t - 1), (B, 1))[:, 0]
+        h, cache = decoder_step(params, dims, prev_tok, s.t - 1, s.cache)
+        return s._replace(cur_logits=project_logits(params, h), cache=cache)
 
     state = jax.lax.while_loop(cond, body, state)
 

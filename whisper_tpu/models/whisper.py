@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import merge_heads, qkv_attention, split_heads
+from ..ops.attention import encoder_attention, merge_heads, qkv_attention, split_heads
 from .dims import ModelDimensions
 
 Params = Dict[str, Any]
@@ -100,7 +100,7 @@ def _encoder_block(x: jax.Array, p: Params, n_head: int) -> jax.Array:
     q = split_heads(_linear(h, p["q_w"], p["q_b"]), n_head)
     k = split_heads(_linear(h, p["k_w"]), n_head)
     v = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
-    attn, _ = qkv_attention(q, k, v)
+    attn = encoder_attention(q, k, v)
     x = x + _linear(merge_heads(attn), p["o_w"], p["o_b"])
 
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])

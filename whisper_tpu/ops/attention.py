@@ -9,11 +9,15 @@ must globally disable SDPA to recover attention weights for word timing
 function.
 """
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# set WHISPER_TPU_NO_PALLAS=1 to force the XLA attention path everywhere
+_DISABLE_PALLAS = os.environ.get("WHISPER_TPU_NO_PALLAS", "") == "1"
 
 
 def qkv_attention(
@@ -55,6 +59,21 @@ def qkv_attention(
     out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=jnp.float32)
     out = out.astype(q.dtype)
     return out, (qk if return_qk else None)
+
+
+def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Self-attention for the encoder's fixed 1500-token context.
+
+    Dispatches to the Pallas kernel on TPU (ops/kernels/attention_pallas.py),
+    falling back to the XLA path elsewhere; both share the same numerics.
+    """
+    if not _DISABLE_PALLAS:
+        from .kernels.attention_pallas import attention_pallas, pallas_available
+
+        if pallas_available() and q.shape[-1] in (64, 128):
+            return attention_pallas(q, k, v)
+    out, _ = qkv_attention(q, k, v)
+    return out
 
 
 def split_heads(x: jax.Array, n_head: int) -> jax.Array:

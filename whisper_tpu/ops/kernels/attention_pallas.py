@@ -1,0 +1,96 @@
+"""Pallas TPU kernel for encoder self-attention.
+
+Replaces torch SDPA (reference whisper/model.py:16-22,123-127) on the
+encoder's 1500-token context.  Whisper's head dim is 64 and the context is
+fixed, so the whole K/V for one (batch, head) plus a 128-row query block and
+its f32 score block fit comfortably in VMEM (~2 MB); the kernel therefore
+blocks over queries only and computes an exact (not online) softmax per
+block — fewer passes than flash attention with the same memory profile.
+
+Numerics match whisper_tpu.ops.attention.qkv_attention: q and k are each
+scaled by d^-0.25, scores and softmax are float32.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q_BLOCK = 128
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_valid: int):
+    q = q_ref[0].astype(jnp.float32) * scale  # (Q_BLOCK, D)
+    k = k_ref[0].astype(jnp.float32) * scale  # (T_pad, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Q_BLOCK, T_pad)
+
+    t_pad = k.shape[0]
+    if t_valid < t_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < t_valid, s, -jnp.inf)
+
+    p = jax.nn.softmax(s, axis=-1)
+    v = v_ref[0]
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Non-causal multi-head attention: (B, H, T, D) -> (B, H, T, D)."""
+    b, h, t, d = q.shape
+    scale = float(d) ** -0.25
+
+    def round_up(x, m):
+        return (x + m - 1) // m * m
+
+    t_pad = round_up(t, Q_BLOCK)
+    bh = b * h
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0)]
+        qf = jnp.pad(qf, pad)
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+
+    grid = (bh, t_pad // Q_BLOCK)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, t_valid=t),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t_pad * t_pad * d,
+            bytes_accessed=bh * t_pad * d * 4 * q.dtype.itemsize,
+            transcendentals=bh * t_pad * t_pad,
+        ),
+    )(qf, kf, vf)
+
+    return out[:, :t, :].reshape(b, h, t, d)
+
+
+def pallas_available() -> bool:
+    """True when running on a real TPU backend (kernels need Mosaic)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

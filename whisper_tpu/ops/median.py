@@ -33,4 +33,10 @@ def median_filter(x, filter_width: int):
     assert (
         filter_width > 0 and filter_width % 2 == 1
     ), "`filter_width` should be an odd number"
+    from .kernels.attention_pallas import pallas_available
+
+    if pallas_available() and filter_width <= 13:
+        from .kernels.median_pallas import median_filter_pallas
+
+        return median_filter_pallas(x, filter_width)
     return _median_filter_xla(x, filter_width)
