@@ -268,26 +268,48 @@ def decoder_step(
 
     x = _embed_tokens(dec, tokens[:, None], t, 1)  # (B, 1, C)
 
-    # positions > t are either garbage (beyond the written prefix) or stale;
-    # mask them out of the attention
+    # self-attention reads the cache as-is (positions < t) and folds the new
+    # token's K/V in as one extra score term — inserting k_new into the cache
+    # inside the layer scan would force XLA to copy the whole layer cache
+    # every step, which costs more than the entire model math
     pos_mask = jnp.where(
-        jnp.arange(n_ctx)[None, None, None, :] <= t, 0.0, NEG_INF
+        jnp.arange(n_ctx)[None, None, None, :] < t, 0.0, NEG_INF
     ).astype(jnp.float32)
 
     def scan_body(carry, layer):
         p, cache_k_l, cache_v_l, xk_l, xv_l = layer
         h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
-        k_new = split_heads(_linear(h, p["k_w"]), n_head)  # (B, H, 1, D)
+        q = split_heads(_linear(h, p["q_w"], p["q_b"]), n_head)  # (B, H, 1, D)
+        k_new = split_heads(_linear(h, p["k_w"]), n_head)
         v_new = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
-        k_full = jax.lax.dynamic_update_slice(
-            cache_k_l, k_new.astype(cache_k_l.dtype), (0, 0, t, 0)
+
+        d = q.shape[-1]
+        scale = d**-0.25
+        s_old = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, cache_k_l * scale,
+            preferred_element_type=jnp.float32,
+        ) + pos_mask
+        s_new = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k_new * scale,
+            preferred_element_type=jnp.float32,
         )
-        v_full = jax.lax.dynamic_update_slice(
-            cache_v_l, v_new.astype(cache_v_l.dtype), (0, 0, t, 0)
-        )
-        x_out, _ = _decoder_block(
-            carry, p, n_head, k_full, v_full, xk_l, xv_l, pos_mask
-        )
+        s = jnp.concatenate([s_old, s_new], axis=-1).astype(jnp.float32)
+        w = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        attn = jnp.einsum(
+            "bhqk,bhkd->bhqd", w[..., :n_ctx], cache_v_l,
+            preferred_element_type=jnp.float32,
+        ) + w[..., n_ctx:] * v_new.astype(jnp.float32)
+        attn = attn.astype(q.dtype)
+        h2 = carry + _linear(merge_heads(attn), p["o_w"], p["o_b"])
+
+        # cross-attention + MLP
+        hx = layer_norm(h2, p["xattn_ln_g"], p["xattn_ln_b"])
+        xq = split_heads(_linear(hx, p["xq_w"], p["xq_b"]), n_head)
+        xattn, _ = qkv_attention(xq, xk_l, xv_l)
+        h2 = h2 + _linear(merge_heads(xattn), p["xo_w"], p["xo_b"])
+        hm = layer_norm(h2, p["mlp_ln_g"], p["mlp_ln_b"])
+        hm = _gelu(_linear(hm, p["fc1_w"], p["fc1_b"]))
+        x_out = h2 + _linear(hm, p["fc2_w"], p["fc2_b"])
         return x_out, (k_new, v_new)
 
     xs = (
