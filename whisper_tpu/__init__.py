@@ -124,6 +124,7 @@ def load_model(
     download_root: Optional[str] = None,
     in_memory: bool = False,
     dtype=None,
+    quantize: Optional[str] = None,
 ) -> Whisper:
     """Load a Whisper ASR model onto a JAX device.
 
@@ -137,6 +138,8 @@ def load_model(
     in_memory : preload checkpoint bytes into host memory
     dtype : parameter dtype; defaults to bfloat16 on TPU and float32 on CPU
         (replacing the reference's fp16, whisper/__init__.py:103-161)
+    quantize : "int8" for weight-only int8 serving (see whisper_tpu.quantize);
+        None (default) keeps full-precision weights
     """
     import jax
     import jax.numpy as jnp
@@ -181,6 +184,13 @@ def load_model(
                 save_npz(npz_path, params, dims)
             except OSError:
                 pass
+
+    if quantize == "int8":
+        from .quantize import quantize_params
+
+        params = quantize_params(params)
+    elif quantize is not None:
+        raise ValueError(f"Unsupported quantize mode: {quantize!r}")
 
     params = jax.device_put(params, device)
     model = Whisper(dims, params, dtype=dtype)

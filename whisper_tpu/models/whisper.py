@@ -64,8 +64,15 @@ def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
     return x.astype(orig_dtype)
 
 
-def _linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
+def _linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    if isinstance(w, dict):  # int8 weight-only quantization (quantize.py)
+        y = jnp.einsum(
+            "...i,io->...o", x, w["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * w["s"].astype(jnp.float32)).astype(x.dtype)
+    else:
+        y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
     if b is not None:
         y = y + b.astype(x.dtype)
     return y

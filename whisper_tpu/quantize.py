@@ -1,0 +1,84 @@
+"""Weight-only int8 quantization for serving.
+
+Not in the reference (fp16 everywhere); on TPU the decode loop is
+HBM-bandwidth-bound on weight reads, so storing matmul weights as int8 with
+per-output-channel scales nearly halves the bytes per token.  Symmetric
+per-channel quantization of this kind is empirically WER-neutral for Whisper.
+
+Quantized leaves are ``{"q": int8 (.., in, out), "s": f32 (.., 1, out)}``
+dicts; :func:`whisper_tpu.models.whisper._linear` consumes either form, so
+the engine and all call sites are unchanged.  Opt in via
+``load_model(name, quantize="int8")`` or :func:`quantize_params`.
+
+Embeddings, LayerNorm parameters, biases, and the encoder convs stay in the
+compute dtype (they are a small fraction of bytes and the logits projection
+shares the token embedding, where quantization would bias the argmax).
+"""
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+# weight leaves that carry the decode-loop bandwidth
+_QUANT_KEYS = {
+    "q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w",
+    "xq_w", "xk_w", "xv_w", "xo_w",
+}
+
+
+def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8: w ≈ q * s (last axis = out)."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale}
+
+
+def dequantize_weight(leaf: Dict[str, jax.Array], dtype) -> jax.Array:
+    return (leaf["q"].astype(jnp.float32) * leaf["s"]).astype(dtype)
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
+
+
+def quantize_params(params: Dict[str, Any], scopes=("encoder", "decoder")) -> Dict[str, Any]:
+    """Return params with matmul weights in the given scopes quantized."""
+
+    def walk(tree, in_scope):
+        out = {}
+        for key, value in tree.items():
+            if isinstance(value, dict) and not is_quantized(value):
+                out[key] = walk(value, in_scope or key in scopes)
+            elif in_scope and key in _QUANT_KEYS:
+                out[key] = quantize_weight(value)
+            else:
+                out[key] = value
+        return out
+
+    return walk(params, False)
+
+
+def quantization_error(params, quantized) -> float:
+    """Max relative weight error across quantized leaves (sanity metric)."""
+    worst = 0.0
+    flat_p = jax.tree.leaves_with_path(params)
+    flat_q = {tuple(str(k) for k in path): leaf for path, leaf in
+              jax.tree.leaves_with_path(quantized, is_leaf=is_quantized)}
+    del flat_q  # structural check happens in tests; keep simple here
+    for path, leaf in jax.tree.leaves_with_path(
+        quantized, is_leaf=lambda x: is_quantized(x)
+    ):
+        if is_quantized(leaf):
+            orig = params
+            for k in path:
+                orig = orig[k.key]
+            deq = dequantize_weight(leaf, jnp.float32)
+            err = float(
+                jnp.max(jnp.abs(deq - orig.astype(jnp.float32)))
+                / (jnp.max(jnp.abs(orig.astype(jnp.float32))) + 1e-9)
+            )
+            worst = max(worst, err)
+    return worst
