@@ -1,0 +1,58 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import whisper_tpu
+from whisper_tpu.models.dims import ModelDimensions
+from whisper_tpu.models.whisper import Whisper, init_params
+from whisper_tpu.quantize import (
+    dequantize_weight,
+    is_quantized,
+    quantize_params,
+    quantize_weight,
+)
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_state=64,
+    n_text_head=2, n_text_layer=2,
+)
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64)) * 0.05
+    q = quantize_weight(w)
+    assert q["q"].dtype == jnp.int8
+    deq = dequantize_weight(q, jnp.float32)
+    # per-channel int8: max error bounded by scale/2 = absmax/254
+    err = np.abs(np.asarray(deq - w))
+    bound = np.asarray(q["s"]) / 2 + 1e-9
+    assert (err <= bound).all()
+
+
+def test_quantize_params_structure():
+    params = init_params(DIMS, jax.random.PRNGKey(0))
+    qparams = quantize_params(params)
+    assert is_quantized(qparams["decoder"]["blocks"]["q_w"])
+    assert is_quantized(qparams["encoder"]["blocks"]["fc1_w"])
+    # embeddings / norms / convs stay full precision
+    assert not is_quantized(qparams["decoder"]["tok_emb"])
+    assert not is_quantized(qparams["encoder"]["conv1_w"])
+    assert not is_quantized(qparams["decoder"]["blocks"]["attn_ln_g"])
+
+
+def test_quantized_decode_runs_and_is_close():
+    params = init_params(DIMS, jax.random.PRNGKey(1))
+    model = Whisper(DIMS, params)
+    model_q = Whisper(DIMS, quantize_params(params))
+
+    mel = (np.random.RandomState(0).randn(80, 3000) * 0.4).astype(np.float32)
+    opts = whisper_tpu.DecodingOptions(
+        language="en", temperature=0.0, sample_len=16
+    )
+    r = model.decode(mel, opts)
+    rq = model_q.decode(mel, opts)
+    assert isinstance(rq.tokens, list) and len(rq.tokens) > 0
+    # int8 weight-only should track full precision closely on logprob scale
+    assert abs(r.avg_logprob - rq.avg_logprob) < 0.2
