@@ -33,6 +33,7 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--tokens", type=int, default=110)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--quantize", default=None, choices=[None, "int8"])
     args = parser.parse_args()
 
     import jax
@@ -54,6 +55,10 @@ def main():
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
 
     params = init_params(dims, jax.random.PRNGKey(0), dtype)
+    if args.quantize == "int8":
+        from whisper_tpu.quantize import quantize_params
+
+        params = quantize_params(params)
     model = Whisper(dims, params, dtype=dtype)
 
     rng = np.random.RandomState(0)
@@ -79,7 +84,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"rtf_{model_name.replace('-', '_')}_greedy_b{args.batch}",
+                "metric": f"rtf_{model_name.replace('-', '_')}_greedy_b{args.batch}"
+                + ("_int8" if args.quantize == "int8" else ""),
                 "value": round(rtf, 2),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / A100_LARGE_V3_RTF, 3),
