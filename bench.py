@@ -30,7 +30,7 @@ A100_LARGE_V3_RTF = 10.0
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default=None, help="model name (default: by platform)")
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--tokens", type=int, default=110)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quantize", default=None, choices=[None, "int8"])
