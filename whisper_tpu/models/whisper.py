@@ -23,7 +23,6 @@ not a port:
 import base64
 import gzip
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ function.
 """
 
 import os
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -64,21 +64,14 @@ def quantize_params(params: Dict[str, Any], scopes=("encoder", "decoder")) -> Di
 def quantization_error(params, quantized) -> float:
     """Max relative weight error across quantized leaves (sanity metric)."""
     worst = 0.0
-    flat_p = jax.tree.leaves_with_path(params)
-    flat_q = {tuple(str(k) for k in path): leaf for path, leaf in
-              jax.tree.leaves_with_path(quantized, is_leaf=is_quantized)}
-    del flat_q  # structural check happens in tests; keep simple here
-    for path, leaf in jax.tree.leaves_with_path(
-        quantized, is_leaf=lambda x: is_quantized(x)
-    ):
-        if is_quantized(leaf):
-            orig = params
-            for k in path:
-                orig = orig[k.key]
-            deq = dequantize_weight(leaf, jnp.float32)
-            err = float(
-                jnp.max(jnp.abs(deq - orig.astype(jnp.float32)))
-                / (jnp.max(jnp.abs(orig.astype(jnp.float32))) + 1e-9)
-            )
-            worst = max(worst, err)
+    for path, leaf in jax.tree.leaves_with_path(quantized, is_leaf=is_quantized):
+        if not is_quantized(leaf):
+            continue
+        orig = params
+        for k in path:
+            orig = orig[k.key]
+        orig = orig.astype(jnp.float32)
+        deq = dequantize_weight(leaf, jnp.float32)
+        err = float(jnp.max(jnp.abs(deq - orig)) / (jnp.max(jnp.abs(orig)) + 1e-9))
+        worst = max(worst, err)
     return worst
