@@ -1,0 +1,59 @@
+"""transcribe_batch must reproduce per-file transcribe() exactly
+(condition_on_previous_text=False semantics, temperature 0)."""
+
+import numpy as np
+import pytest
+
+import whisper_tpu
+from whisper_tpu.batch import transcribe_batch
+from whisper_tpu.models.whisper import Whisper
+
+from conftest import JFK
+
+pytestmark = pytest.mark.reference
+
+
+@pytest.fixture(scope="module")
+def model():
+    from _reference import TINY_DIMS, convert_to_jax, make_reference_model
+
+    params, dims = convert_to_jax(make_reference_model(TINY_DIMS, seed=0))
+    return Whisper(dims, params)
+
+
+def test_batch_matches_sequential(model):
+    audio = whisper_tpu.load_audio(JFK)
+    rng = np.random.RandomState(0)
+    noise = (rng.randn(16000 * 5) * 0.05).astype(np.float32)
+    audios = [audio, noise, audio[: 16000 * 4]]
+
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+    )
+    batch = transcribe_batch(model, audios, batch_size=3, **kw)
+    for audio_i, batched in zip(audios, batch):
+        single = model.transcribe(
+            audio_i, condition_on_previous_text=False, verbose=None, **kw
+        )
+        assert batched["text"] == single["text"]
+        assert len(batched["segments"]) == len(single["segments"])
+        for bs, ss in zip(batched["segments"], single["segments"]):
+            assert bs["tokens"] == ss["tokens"]
+            assert bs["seek"] == ss["seek"]
+            assert abs(bs["start"] - ss["start"]) < 1e-9
+            assert abs(bs["end"] - ss["end"]) < 1e-9
+        assert batched["language"] == single["language"]
+
+
+def test_batch_rejects_unsupported(model):
+    with pytest.raises(NotImplementedError):
+        transcribe_batch(
+            model, [np.zeros(16000, np.float32)], word_timestamps=True,
+            language="en",
+        )
+    with pytest.raises(NotImplementedError):
+        transcribe_batch(
+            model, [np.zeros(16000, np.float32)],
+            condition_on_previous_text=True, language="en",
+        )

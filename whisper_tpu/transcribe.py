@@ -47,6 +47,134 @@ if TYPE_CHECKING:
     from .models.whisper import Whisper
 
 
+def _new_segment(
+    *,
+    seek: int,
+    start: float,
+    end: float,
+    tokens,
+    result: DecodingResult,
+    tokenizer,
+) -> dict:
+    tokens = [int(t) for t in tokens]
+    text_tokens = [token for token in tokens if token < tokenizer.eot]
+    return {
+        "seek": seek,
+        "start": start,
+        "end": end,
+        "text": tokenizer.decode(text_tokens),
+        "tokens": tokens,
+        "temperature": result.temperature,
+        "avg_logprob": result.avg_logprob,
+        "compression_ratio": result.compression_ratio,
+        "no_speech_prob": result.no_speech_prob,
+    }
+
+
+def segment_window(
+    *,
+    result: DecodingResult,
+    tokenizer,
+    seek: int,
+    segment_size: int,
+    time_offset: float,
+    segment_duration: float,
+    input_stride: int,
+    time_precision: float,
+):
+    """Split one window's tokens into segments and compute the seek advance.
+
+    Implements the timestamp-token segmentation rules of reference
+    transcribe.py:339-399, including the single-timestamp-ending case.
+    Returns (current_segments, new_seek, single_timestamp_ending).
+    """
+    tokens = np.array(result.tokens)
+    current_segments: List[dict] = []
+
+    timestamp_tokens = tokens >= tokenizer.timestamp_begin
+    single_timestamp_ending = (
+        len(timestamp_tokens) >= 2
+        and timestamp_tokens[-2:].tolist() == [False, True]
+    )
+
+    consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+    if len(consecutive) > 0:
+        # split at consecutive timestamp-token pairs
+        slices = consecutive.tolist()
+        if single_timestamp_ending:
+            slices.append(len(tokens))
+
+        last_slice = 0
+        for current_slice in slices:
+            sliced_tokens = tokens[last_slice:current_slice]
+            start_pos = int(sliced_tokens[0]) - tokenizer.timestamp_begin
+            end_pos = int(sliced_tokens[-1]) - tokenizer.timestamp_begin
+            current_segments.append(
+                _new_segment(
+                    seek=seek,
+                    start=time_offset + start_pos * time_precision,
+                    end=time_offset + end_pos * time_precision,
+                    tokens=sliced_tokens,
+                    result=result,
+                    tokenizer=tokenizer,
+                )
+            )
+            last_slice = current_slice
+
+        if single_timestamp_ending:
+            # no speech after the final timestamp: advance a full window
+            new_seek = seek + segment_size
+        else:
+            # continue from the last complete segment's end timestamp
+            last_timestamp_pos = int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
+            new_seek = seek + last_timestamp_pos * input_stride
+    else:
+        duration = segment_duration
+        timestamps = tokens[np.nonzero(timestamp_tokens)[0]]
+        if len(timestamps) > 0 and int(timestamps[-1]) != tokenizer.timestamp_begin:
+            last_timestamp_pos = int(timestamps[-1]) - tokenizer.timestamp_begin
+            duration = last_timestamp_pos * time_precision
+
+        current_segments.append(
+            _new_segment(
+                seek=seek,
+                start=time_offset,
+                end=time_offset + duration,
+                tokens=tokens,
+                result=result,
+                tokenizer=tokenizer,
+            )
+        )
+        new_seek = seek + segment_size
+
+    return current_segments, new_seek, single_timestamp_ending
+
+
+def needs_fallback(
+    result: DecodingResult,
+    compression_ratio_threshold: Optional[float],
+    logprob_threshold: Optional[float],
+    no_speech_threshold: Optional[float],
+) -> bool:
+    """Quality gates of the temperature ladder (reference transcribe.py:203-222)."""
+    fallback = False
+    if (
+        compression_ratio_threshold is not None
+        and result.compression_ratio > compression_ratio_threshold
+    ):
+        fallback = True  # too repetitive
+    if logprob_threshold is not None and result.avg_logprob < logprob_threshold:
+        fallback = True  # low confidence
+    if (
+        no_speech_threshold is not None
+        and result.no_speech_prob > no_speech_threshold
+        and logprob_threshold is not None
+        and result.avg_logprob < logprob_threshold
+    ):
+        fallback = False  # silence: accept as-is
+    return fallback
+
+
 def transcribe(
     model: "Whisper",
     audio: Union[str, np.ndarray],
@@ -140,25 +268,12 @@ def transcribe(
             options = DecodingOptions(**kwargs, temperature=t)
             decode_result = model.decode(segment, options)
 
-            needs_fallback = False
-            if (
-                compression_ratio_threshold is not None
-                and decode_result.compression_ratio > compression_ratio_threshold
+            if not needs_fallback(
+                decode_result,
+                compression_ratio_threshold,
+                logprob_threshold,
+                no_speech_threshold,
             ):
-                needs_fallback = True  # too repetitive
-            if (
-                logprob_threshold is not None
-                and decode_result.avg_logprob < logprob_threshold
-            ):
-                needs_fallback = True  # low confidence
-            if (
-                no_speech_threshold is not None
-                and decode_result.no_speech_prob > no_speech_threshold
-                and logprob_threshold is not None
-                and decode_result.avg_logprob < logprob_threshold
-            ):
-                needs_fallback = False  # silence: accept as-is
-            if not needs_fallback:
                 break
 
         return decode_result
@@ -178,23 +293,6 @@ def transcribe(
         remaining_prompt_length -= len(initial_prompt_tokens)
     else:
         initial_prompt_tokens = []
-
-    def new_segment(
-        *, start: float, end: float, tokens: np.ndarray, result: DecodingResult
-    ) -> dict:
-        tokens = [int(t) for t in tokens]
-        text_tokens = [token for token in tokens if token < tokenizer.eot]
-        return {
-            "seek": seek,
-            "start": start,
-            "end": end,
-            "text": tokenizer.decode(text_tokens),
-            "tokens": tokens,
-            "temperature": result.temperature,
-            "avg_logprob": result.avg_logprob,
-            "compression_ratio": result.compression_ratio,
-            "no_speech_prob": result.no_speech_prob,
-        }
 
     # progress bar shown when not printing per-segment lines
     with tqdm.tqdm(
@@ -225,7 +323,6 @@ def transcribe(
                 decode_options["prompt"] = all_tokens[prompt_reset_since:]
 
             result: DecodingResult = decode_with_fallback(mel_segment)
-            tokens = np.array(result.tokens)
 
             if no_speech_threshold is not None:
                 # voice-activity gate (reference transcribe.py:298-310)
@@ -240,7 +337,6 @@ def transcribe(
                     continue
 
             previous_seek = seek
-            current_segments: List[dict] = []
 
             def word_anomaly_score(word: dict) -> float:
                 probability = word.get("probability", 0.0)
@@ -265,64 +361,16 @@ def transcribe(
             def next_words_segment(segments: List[dict]) -> Optional[dict]:
                 return next((s for s in segments if s["words"]), None)
 
-            timestamp_tokens = tokens >= tokenizer.timestamp_begin
-            single_timestamp_ending = (
-                len(timestamp_tokens) >= 2
-                and timestamp_tokens[-2:].tolist() == [False, True]
+            current_segments, seek, single_timestamp_ending = segment_window(
+                result=result,
+                tokenizer=tokenizer,
+                seek=seek,
+                segment_size=segment_size,
+                time_offset=time_offset,
+                segment_duration=segment_duration,
+                input_stride=input_stride,
+                time_precision=time_precision,
             )
-
-            consecutive = (
-                np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
-            )
-            if len(consecutive) > 0:
-                # segments split at consecutive timestamp-token pairs
-                slices = consecutive.tolist()
-                if single_timestamp_ending:
-                    slices.append(len(tokens))
-
-                last_slice = 0
-                for current_slice in slices:
-                    sliced_tokens = tokens[last_slice:current_slice]
-                    start_pos = int(sliced_tokens[0]) - tokenizer.timestamp_begin
-                    end_pos = int(sliced_tokens[-1]) - tokenizer.timestamp_begin
-                    current_segments.append(
-                        new_segment(
-                            start=time_offset + start_pos * time_precision,
-                            end=time_offset + end_pos * time_precision,
-                            tokens=sliced_tokens,
-                            result=result,
-                        )
-                    )
-                    last_slice = current_slice
-
-                if single_timestamp_ending:
-                    # no speech after the final timestamp: advance a full window
-                    seek += segment_size
-                else:
-                    # continue from the last complete segment's end timestamp
-                    last_timestamp_pos = (
-                        int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
-                    )
-                    seek += last_timestamp_pos * input_stride
-            else:
-                duration = segment_duration
-                timestamps = tokens[np.nonzero(timestamp_tokens)[0]]
-                if (
-                    len(timestamps) > 0
-                    and int(timestamps[-1]) != tokenizer.timestamp_begin
-                ):
-                    last_timestamp_pos = int(timestamps[-1]) - tokenizer.timestamp_begin
-                    duration = last_timestamp_pos * time_precision
-
-                current_segments.append(
-                    new_segment(
-                        start=time_offset,
-                        end=time_offset + duration,
-                        tokens=tokens,
-                        result=result,
-                    )
-                )
-                seek += segment_size
 
             if word_timestamps:
                 from .timing import add_word_timestamps
