@@ -15,6 +15,7 @@ import warnings
 from typing import List, Optional, Union
 
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim
+from .batch import transcribe_batch
 from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models import ModelDimensions, Whisper
 from .transcribe import transcribe
@@ -25,6 +26,7 @@ from .version import __version__
 Whisper.decode = decode
 Whisper.detect_language = detect_language
 Whisper.transcribe = transcribe
+Whisper.transcribe_batch = transcribe_batch
 
 # official checkpoint registry (reference whisper/__init__.py:17-32); the
 # SHA256 is embedded in the URL path and verified after download
@@ -212,5 +214,6 @@ __all__ = [
     "log_mel_spectrogram",
     "pad_or_trim",
     "transcribe",
+    "transcribe_batch",
     "__version__",
 ]
