@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from whisper_tpu.models.dims import ModelDimensions
-from whisper_tpu.models.whisper import encoder_apply, init_params
+from whisper_tpu.models.whisper import Whisper, encoder_apply, init_params
 from whisper_tpu.parallel import make_mesh, shard_params
 
 DIMS = ModelDimensions(
@@ -77,3 +77,22 @@ def test_train_step_decreases_loss():
         loss1 = float(metrics["loss"])
     assert np.isfinite(loss0) and np.isfinite(loss1)
     assert loss1 < loss0
+
+
+@needs_8
+def test_tp_decode_token_equivalence():
+    """The full decode engine under a TP mesh must produce the same tokens."""
+    import whisper_tpu
+
+    params = init_params(DIMS, jax.random.PRNGKey(2))
+    model = Whisper(DIMS, params)
+    mel = (np.random.RandomState(1).randn(80, 3000) * 0.4).astype(np.float32)
+    opts = whisper_tpu.DecodingOptions(language="en", temperature=0.0, sample_len=24)
+    expected = model.decode(mel, opts)
+
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    with mesh:
+        model_tp = Whisper(DIMS, shard_params(params, mesh))
+        got = model_tp.decode(mel, opts)
+    assert got.tokens == expected.tokens
+    assert abs(got.avg_logprob - expected.avg_logprob) < 1e-4
