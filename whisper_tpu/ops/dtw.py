@@ -65,6 +65,18 @@ def _dtw_trace_device(x: jax.Array, n: int, m: int) -> jax.Array:
     return jnp.concatenate([jnp.zeros((2, n + 1), jnp.int8), traces], axis=0)
 
 
+def dtw_trace(x: jax.Array, n: int, m: int) -> jax.Array:
+    """Trace diagonals for cost matrix x: Pallas wavefront kernel on TPU,
+    lax.scan elsewhere (identical output)."""
+    from .kernels.attention_pallas import pallas_available
+
+    if pallas_available():
+        from .kernels.dtw_pallas import dtw_trace_pallas
+
+        return dtw_trace_pallas(x, n, m)
+    return _dtw_trace_device(x, n, m)
+
+
 def _unskew_trace(diags: np.ndarray, n: int, m: int) -> np.ndarray:
     """(n+m+1, n+1) diagonal layout -> (n+1, m+1) trace matrix."""
     i = np.arange(n + 1)[:, None]
@@ -120,7 +132,7 @@ def dtw(x) -> np.ndarray:
     """
     x = jnp.asarray(x)
     n, m = x.shape
-    diags = np.asarray(_dtw_trace_device(x, n, m))
+    diags = np.asarray(dtw_trace(x, n, m))
     trace = _unskew_trace(diags, n, m)
     return backtrace(trace)
 

@@ -24,7 +24,7 @@ import numpy as np
 
 from .audio import HOP_LENGTH, SAMPLE_RATE, TOKENS_PER_SECOND
 from .models.whisper import decoder_forward, encoder_apply
-from .ops.dtw import _dtw_trace_device, _unskew_trace, backtrace
+from .ops.dtw import _unskew_trace, backtrace, dtw_trace
 from .ops.median import median_filter
 from .tokenizer import Tokenizer
 
@@ -114,7 +114,7 @@ def _alignment_device(
 
     matrix = w.mean(axis=0)  # (Tb, Ta)
     text_rows = jax.lax.slice_in_dim(matrix, sot_len, sot_len + n_rows, axis=0)
-    trace_diags = _dtw_trace_device(-text_rows, n_rows, ta)
+    trace_diags = dtw_trace(-text_rows, n_rows, ta)
     return token_probs, trace_diags
 
 
