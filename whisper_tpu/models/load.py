@@ -156,6 +156,29 @@ def load_npz(path: str, dtype=jnp.float32) -> Tuple[Params, ModelDimensions]:
     return params, dims
 
 
+def save_orbax(path: str, params: Params, dims: ModelDimensions):
+    """Checkpoint via orbax (supports sharded params on multi-chip meshes)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            {"params": params, "dims": dims.__dict__},
+            force=True,
+        )
+
+
+def load_orbax(path: str, dtype=jnp.float32) -> Tuple[Params, ModelDimensions]:
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    dims = ModelDimensions(**{k: int(v) for k, v in restored["dims"].items()})
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), restored["params"])
+    return params, dims
+
+
 def load_torch_checkpoint(
     path_or_bytes, dtype=jnp.float32
 ) -> Tuple[Params, ModelDimensions]:
