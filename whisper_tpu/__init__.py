@@ -149,7 +149,14 @@ def load_model(
     from .models.load import load_npz, load_torch_checkpoint, save_npz
 
     if isinstance(device, str):
-        device = jax.devices(device)[0]
+        try:
+            device = jax.devices(device)[0]
+        except RuntimeError:
+            # the environment may pin JAX_PLATFORMS to a single plugin (e.g.
+            # "axon"); if the requested platform isn't in that list, re-point
+            # the platform selection before backends initialize
+            jax.config.update("jax_platforms", device)
+            device = jax.devices()[0]
     elif device is None:
         device = jax.devices()[0]
     if dtype is None:
