@@ -61,6 +61,10 @@ CONFIGS = [
     dict(temperature=0.0, max_initial_timestamp=None),
     dict(temperature=0.0, suppress_tokens=None),
     dict(temperature=0.0, task="translate", beam_size=2),
+    dict(temperature=0.0, suppress_blank=False),
+    dict(temperature=0.0, suppress_tokens=[11, 13, 30]),
+    dict(temperature=0.0, beam_size=5, length_penalty=0.6),
+    dict(temperature=0.0, max_initial_timestamp=0.5),
 ]
 
 
@@ -140,3 +144,28 @@ def test_option_validation(models):
         model.decode(mel, whisper_tpu.DecodingOptions(patience=2.0))
     with pytest.raises(ValueError):
         model.decode(mel, whisper_tpu.DecodingOptions(length_penalty=2.0))
+
+
+def test_best_of_sampling(models, jfk_mel):
+    """best_of at T>0: groups sample independently; ranker picks the best."""
+    _, _, model = models
+    res = model.decode(
+        jfk_mel,
+        whisper_tpu.DecodingOptions(
+            language="en", temperature=0.7, best_of=4, sample_len=24
+        ),
+    )
+    assert isinstance(res.tokens, list)
+    assert res.temperature == 0.7
+    assert np.isfinite(res.avg_logprob)
+
+
+def test_sampling_varies_across_calls(models, jfk_mel):
+    _, _, model = models
+    opts = whisper_tpu.DecodingOptions(
+        language="en", temperature=1.0, sample_len=24
+    )
+    r1 = model.decode(jfk_mel, opts)
+    r2 = model.decode(jfk_mel, opts)
+    # overwhelmingly likely to differ at T=1.0 over 24 steps
+    assert r1.tokens != r2.tokens
