@@ -24,30 +24,37 @@ _LETTER_FOLDS = {
 }
 
 
+def _clean(s: str, *, fold_diacritics: bool, keep: str = "") -> str:
+    """Space out markers/symbols/punctuation; optionally fold diacritics.
+
+    With fold_diacritics the string is NFKD-decomposed so combining marks
+    (category Mn) can be dropped and the _LETTER_FOLDS table applied;
+    otherwise NFKC keeps letters composed.
+    """
+    form = "NFKD" if fold_diacritics else "NFKC"
+    out = []
+    for c in unicodedata.normalize(form, s):
+        if c in keep:
+            out.append(c)
+            continue
+        if fold_diacritics and c in _LETTER_FOLDS:
+            out.append(_LETTER_FOLDS[c])
+            continue
+        category = unicodedata.category(c)
+        if fold_diacritics and category == "Mn":
+            continue  # combining mark: drop entirely
+        out.append(" " if category[0] in "MSP" else c)
+    return "".join(out)
+
+
 def remove_symbols_and_diacritics(s: str, keep: str = "") -> str:
     """Replace markers/symbols/punctuation with a space and drop diacritics."""
-
-    def fold(c: str) -> str:
-        if c in keep:
-            return c
-        if c in _LETTER_FOLDS:
-            return _LETTER_FOLDS[c]
-        category = unicodedata.category(c)
-        if category == "Mn":  # combining mark: drop
-            return ""
-        if category[0] in "MSP":  # marks, symbols, punctuation: space out
-            return " "
-        return c
-
-    return "".join(fold(c) for c in unicodedata.normalize("NFKD", s))
+    return _clean(s, fold_diacritics=True, keep=keep)
 
 
 def remove_symbols(s: str) -> str:
     """Replace markers/symbols/punctuation with a space, keeping diacritics."""
-    return "".join(
-        " " if unicodedata.category(c)[0] in "MSP" else c
-        for c in unicodedata.normalize("NFKC", s)
-    )
+    return _clean(s, fold_diacritics=False)
 
 
 class BasicTextNormalizer:

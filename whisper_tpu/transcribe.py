@@ -175,6 +175,117 @@ def needs_fallback(
     return fallback
 
 
+# punctuation set used by the hallucination heuristics (prepend+append defaults)
+_PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+
+
+def _word_anomaly_score(word: dict) -> float:
+    """Score how implausible a word timing is (long/short/improbable)."""
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment: Optional[dict]) -> bool:
+    if segment is None or not segment["words"]:
+        return False
+    words = [w for w in segment["words"] if w["word"] not in _PUNCTUATION][:8]
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def _first_segment_with_words(segments: List[dict]) -> Optional[dict]:
+    return next((s for s in segments if s["words"]), None)
+
+
+def _refine_seek_with_word_timings(
+    current_segments: List[dict],
+    *,
+    seek: int,
+    previous_seek: int,
+    segment_size: int,
+    single_timestamp_ending: bool,
+    time_offset: float,
+    window_end_time: float,
+    segment_duration: float,
+    content_frames: int,
+    content_duration: float,
+    last_speech_timestamp: float,
+    threshold: Optional[float],
+):
+    """Word-timing seek refinement + hallucination-silence skipping.
+
+    Semantics of reference transcribe.py:413-472.  Returns
+    (seek, restart_window) where restart_window means "re-decode from the new
+    seek, discarding this window's segments".
+    """
+    if not single_timestamp_ending:
+        last_word_end = get_end(current_segments)
+        if last_word_end is not None and last_word_end > time_offset:
+            seek = round(last_word_end * FRAMES_PER_SECOND)
+
+    if threshold is None:
+        return seek, False
+
+    # skip trailing silence when the window ends well past the last word
+    if not single_timestamp_ending:
+        last_word_end = get_end(current_segments)
+        if last_word_end is not None and last_word_end > time_offset:
+            remaining_duration = window_end_time - last_word_end
+            if remaining_duration > threshold:
+                seek = round(last_word_end * FRAMES_PER_SECOND)
+            else:
+                seek = previous_seek + segment_size
+
+    # a suspicious first segment after a gap: skip the leading silence
+    first_segment = _first_segment_with_words(current_segments)
+    if first_segment is not None and _is_segment_anomaly(first_segment):
+        gap = first_segment["start"] - time_offset
+        if gap > threshold:
+            return previous_seek + round(gap * FRAMES_PER_SECOND), True
+
+    # drop hallucination-like segments that are surrounded by silence (or by
+    # more hallucinations) and resume from the first one
+    hal_last_end = last_speech_timestamp
+    for si, segment in enumerate(current_segments):
+        if not segment["words"]:
+            continue
+        if _is_segment_anomaly(segment):
+            next_segment = _first_segment_with_words(current_segments[si + 1 :])
+            if next_segment is not None:
+                hal_next_start = next_segment["words"][0]["start"]
+            else:
+                hal_next_start = time_offset + segment_duration
+            silence_before = (
+                segment["start"] - hal_last_end > threshold
+                or segment["start"] < threshold
+                or segment["start"] - time_offset < 2.0
+            )
+            silence_after = (
+                hal_next_start - segment["end"] > threshold
+                or _is_segment_anomaly(next_segment)
+                or window_end_time - segment["end"] < 2.0
+            )
+            if silence_before and silence_after:
+                seek = round(
+                    max(time_offset + 1, segment["start"]) * FRAMES_PER_SECOND
+                )
+                if content_duration - segment["end"] < threshold:
+                    seek = content_frames
+                current_segments[si:] = []
+                break
+        hal_last_end = segment["end"]
+
+    return seek, False
+
+
 def transcribe(
     model: "Whisper",
     audio: Union[str, np.ndarray],
@@ -243,8 +354,6 @@ def transcribe(
     if len(seek_points) % 2 == 1:
         seek_points.append(content_frames)
     seek_clips: List[Tuple[int, int]] = list(zip(seek_points[::2], seek_points[1::2]))
-
-    punctuation = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
     if word_timestamps and task == "translate":
         warnings.warn("Word-level timestamps on translations may not be reliable.")
@@ -338,29 +447,6 @@ def transcribe(
 
             previous_seek = seek
 
-            def word_anomaly_score(word: dict) -> float:
-                probability = word.get("probability", 0.0)
-                duration = word["end"] - word["start"]
-                score = 0.0
-                if probability < 0.15:
-                    score += 1.0
-                if duration < 0.133:
-                    score += (0.133 - duration) * 15
-                if duration > 2.0:
-                    score += duration - 2.0
-                return score
-
-            def is_segment_anomaly(segment: Optional[dict]) -> bool:
-                if segment is None or not segment["words"]:
-                    return False
-                words = [w for w in segment["words"] if w["word"] not in punctuation]
-                words = words[:8]
-                score = sum(word_anomaly_score(w) for w in words)
-                return score >= 3 or score + 0.01 >= len(words)
-
-            def next_words_segment(segments: List[dict]) -> Optional[dict]:
-                return next((s for s in segments if s["words"]), None)
-
             current_segments, seek, single_timestamp_ending = segment_window(
                 result=result,
                 tokenizer=tokenizer,
@@ -386,63 +472,22 @@ def transcribe(
                     last_speech_timestamp=last_speech_timestamp,
                 )
 
-                if not single_timestamp_ending:
-                    last_word_end = get_end(current_segments)
-                    if last_word_end is not None and last_word_end > time_offset:
-                        seek = round(last_word_end * FRAMES_PER_SECOND)
-
-                # hallucination-silence skipping (reference transcribe.py:419-472)
-                if hallucination_silence_threshold is not None:
-                    threshold = hallucination_silence_threshold
-                    if not single_timestamp_ending:
-                        last_word_end = get_end(current_segments)
-                        if last_word_end is not None and last_word_end > time_offset:
-                            remaining_duration = window_end_time - last_word_end
-                            if remaining_duration > threshold:
-                                seek = round(last_word_end * FRAMES_PER_SECOND)
-                            else:
-                                seek = previous_seek + segment_size
-
-                    first_segment = next_words_segment(current_segments)
-                    if first_segment is not None and is_segment_anomaly(first_segment):
-                        gap = first_segment["start"] - time_offset
-                        if gap > threshold:
-                            seek = previous_seek + round(gap * FRAMES_PER_SECOND)
-                            continue
-
-                    hal_last_end = last_speech_timestamp
-                    for si in range(len(current_segments)):
-                        segment = current_segments[si]
-                        if not segment["words"]:
-                            continue
-                        if is_segment_anomaly(segment):
-                            next_segment = next_words_segment(
-                                current_segments[si + 1 :]
-                            )
-                            if next_segment is not None:
-                                hal_next_start = next_segment["words"][0]["start"]
-                            else:
-                                hal_next_start = time_offset + segment_duration
-                            silence_before = (
-                                segment["start"] - hal_last_end > threshold
-                                or segment["start"] < threshold
-                                or segment["start"] - time_offset < 2.0
-                            )
-                            silence_after = (
-                                hal_next_start - segment["end"] > threshold
-                                or is_segment_anomaly(next_segment)
-                                or window_end_time - segment["end"] < 2.0
-                            )
-                            if silence_before and silence_after:
-                                seek = round(
-                                    max(time_offset + 1, segment["start"])
-                                    * FRAMES_PER_SECOND
-                                )
-                                if content_duration - segment["end"] < threshold:
-                                    seek = content_frames
-                                current_segments[si:] = []
-                                break
-                        hal_last_end = segment["end"]
+                seek, restart = _refine_seek_with_word_timings(
+                    current_segments,
+                    seek=seek,
+                    previous_seek=previous_seek,
+                    segment_size=segment_size,
+                    single_timestamp_ending=single_timestamp_ending,
+                    time_offset=time_offset,
+                    window_end_time=window_end_time,
+                    segment_duration=segment_duration,
+                    content_frames=content_frames,
+                    content_duration=content_duration,
+                    last_speech_timestamp=last_speech_timestamp,
+                    threshold=hallucination_silence_threshold,
+                )
+                if restart:
+                    continue
 
                 last_word_end = get_end(current_segments)
                 if last_word_end is not None:
@@ -496,48 +541,84 @@ def cli():
             f"model should be one of {available_models()} or path to a model checkpoint"
         )
 
-    # flag set parity with reference transcribe.py:527-567
-    # fmt: off
-    parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    parser.add_argument("audio", nargs="+", type=str, help="audio file(s) to transcribe")
-    parser.add_argument("--model", default="turbo", type=valid_model_name, help="name of the Whisper model to use")
-    parser.add_argument("--model_dir", type=str, default=None, help="the path to save model files; uses ~/.cache/whisper by default")
-    parser.add_argument("--device", default=None, help="JAX device/platform to use (e.g. 'tpu', 'cpu'); defaults to the best available")
-    parser.add_argument("--output_dir", "-o", type=str, default=".", help="directory to save the outputs")
-    parser.add_argument("--output_format", "-f", type=str, default="all", choices=["txt", "vtt", "srt", "tsv", "json", "all"], help="format of the output file; if not specified, all available formats will be produced")
-    parser.add_argument("--verbose", type=str2bool, default=True, help="whether to print out the progress and debug messages")
-
-    parser.add_argument("--task", type=str, default="transcribe", choices=["transcribe", "translate"], help="whether to perform X->X speech recognition ('transcribe') or X->English translation ('translate')")
-    parser.add_argument("--language", type=str, default=None, choices=sorted(LANGUAGES.keys()) + sorted([k.title() for k in TO_LANGUAGE_CODE.keys()]), help="language spoken in the audio, specify None to perform language detection")
-
-    parser.add_argument("--temperature", type=float, default=0, help="temperature to use for sampling")
-    parser.add_argument("--best_of", type=optional_int, default=5, help="number of candidates when sampling with non-zero temperature")
-    parser.add_argument("--beam_size", type=optional_int, default=5, help="number of beams in beam search, only applicable when temperature is zero")
-    parser.add_argument("--patience", type=float, default=None, help="optional patience value to use in beam decoding, as in https://arxiv.org/abs/2204.05424, the default (1.0) is equivalent to conventional beam search")
-    parser.add_argument("--length_penalty", type=float, default=None, help="optional token length penalty coefficient (alpha) as in https://arxiv.org/abs/1609.08144, uses simple length normalization by default")
-
-    parser.add_argument("--suppress_tokens", type=str, default="-1", help="comma-separated list of token ids to suppress during sampling; '-1' will suppress most special characters except common punctuations")
-    parser.add_argument("--initial_prompt", type=str, default=None, help="optional text to provide as a prompt for the first window.")
-    parser.add_argument("--carry_initial_prompt", type=str2bool, default=False, help="if True, prepend initial_prompt to every internal decode() call. May reduce the effectiveness of condition_on_previous_text")
-
-    parser.add_argument("--condition_on_previous_text", type=str2bool, default=True, help="if True, provide the previous output of the model as a prompt for the next window; disabling may make the text inconsistent across windows, but the model becomes less prone to getting stuck in a failure loop")
-    parser.add_argument("--fp16", type=str2bool, default=True, help="kept for API compatibility; compute dtype is chosen at model load (bfloat16 on TPU)")
-
-    parser.add_argument("--temperature_increment_on_fallback", type=optional_float, default=0.2, help="temperature to increase when falling back when the decoding fails to meet either of the thresholds below")
-    parser.add_argument("--compression_ratio_threshold", type=optional_float, default=2.4, help="if the gzip compression ratio is higher than this value, treat the decoding as failed")
-    parser.add_argument("--logprob_threshold", type=optional_float, default=-1.0, help="if the average log probability is lower than this value, treat the decoding as failed")
-    parser.add_argument("--no_speech_threshold", type=optional_float, default=0.6, help="if the probability of the <|nospeech|> token is higher than this value AND the decoding has failed due to `logprob_threshold`, consider the segment as silence")
-    parser.add_argument("--word_timestamps", type=str2bool, default=False, help="extract word-level timestamps and refine the results based on them")
-    parser.add_argument("--prepend_punctuations", type=str, default="\"\'“¿([{-", help="if word_timestamps is True, merge these punctuation symbols with the next word")
-    parser.add_argument("--append_punctuations", type=str, default="\"\'.。,，!！?？:：”)]}、", help="if word_timestamps is True, merge these punctuation symbols with the previous word")
-    parser.add_argument("--highlight_words", type=str2bool, default=False, help="(requires --word_timestamps True) underline each word as it is spoken in srt and vtt")
-    parser.add_argument("--max_line_width", type=optional_int, default=None, help="(requires --word_timestamps True) the maximum number of characters in a line before breaking the line")
-    parser.add_argument("--max_line_count", type=optional_int, default=None, help="(requires --word_timestamps True) the maximum number of lines in a segment")
-    parser.add_argument("--max_words_per_line", type=optional_int, default=None, help="(requires --word_timestamps True, no effect with --max_line_width) the maximum number of words in a segment")
-    parser.add_argument("--threads", type=optional_int, default=0, help="number of CPU threads for host-side work (accepted for CLI compatibility)")
-    parser.add_argument("--clip_timestamps", type=str, default="0", help="comma-separated list start,end,start,end,... timestamps (in seconds) of clips to process, where the last end timestamp defaults to the end of the file")
-    parser.add_argument("--hallucination_silence_threshold", type=optional_float, help="(requires --word_timestamps True) skip silent periods longer than this threshold (in seconds) when a possible hallucination is detected")
-    # fmt: on
+    # flag-set parity with the reference CLI (transcribe.py:527-567), declared
+    # as a table: (name, kwargs)
+    flags = [
+        ("audio", dict(nargs="+", type=str, help="audio file(s) to process")),
+        ("--model", dict(default="turbo", type=valid_model_name,
+                         help="model name or checkpoint path")),
+        ("--model_dir", dict(type=str, default=None,
+                             help="checkpoint cache directory (default ~/.cache/whisper)")),
+        ("--device", dict(default=None,
+                          help="JAX platform to run on, e.g. 'tpu' or 'cpu'")),
+        (("--output_dir", "-o"), dict(type=str, default=".",
+                                      help="where to write transcripts")),
+        (("--output_format", "-f"), dict(type=str, default="all",
+                                         choices=["txt", "vtt", "srt", "tsv", "json", "all"],
+                                         help="transcript format ('all' writes every format)")),
+        ("--verbose", dict(type=str2bool, default=True,
+                           help="print segments as they are decoded")),
+        ("--task", dict(type=str, default="transcribe",
+                        choices=["transcribe", "translate"],
+                        help="same-language transcription, or translation to English")),
+        ("--language", dict(type=str, default=None,
+                            choices=sorted(LANGUAGES.keys())
+                            + sorted(k.title() for k in TO_LANGUAGE_CODE.keys()),
+                            help="spoken language (omit to auto-detect)")),
+        ("--temperature", dict(type=float, default=0, help="sampling temperature")),
+        ("--best_of", dict(type=optional_int, default=5,
+                           help="independent samples to draw when temperature > 0")),
+        ("--beam_size", dict(type=optional_int, default=5,
+                             help="beam width at temperature 0")),
+        ("--patience", dict(type=float, default=None,
+                            help="beam-search patience factor (arXiv:2204.05424; 1.0 = plain beam search)")),
+        ("--length_penalty", dict(type=float, default=None,
+                                  help="Google-NMT length-penalty alpha (arXiv:1609.08144); default is simple length normalization")),
+        ("--suppress_tokens", dict(type=str, default="-1",
+                                   help="token ids to forbid, comma-separated; '-1' blocks the standard non-speech set")),
+        ("--initial_prompt", dict(type=str, default=None,
+                                  help="text to condition the first window on")),
+        ("--carry_initial_prompt", dict(type=str2bool, default=False,
+                                        help="keep prepending initial_prompt to every window's prompt")),
+        ("--condition_on_previous_text", dict(type=str2bool, default=True,
+                                              help="feed each window's output as the next window's prompt")),
+        ("--fp16", dict(type=str2bool, default=True,
+                        help="accepted for reference-CLI compatibility; dtype is set at model load (bfloat16 on TPU)")),
+        ("--temperature_increment_on_fallback", dict(type=optional_float, default=0.2,
+                                                     help="temperature step for the quality-gated retry ladder")),
+        ("--compression_ratio_threshold", dict(type=optional_float, default=2.4,
+                                               help="retry when gzip compression ratio exceeds this (repetition)")),
+        ("--logprob_threshold", dict(type=optional_float, default=-1.0,
+                                     help="retry when mean token log-probability falls below this")),
+        ("--no_speech_threshold", dict(type=optional_float, default=0.6,
+                                       help="with a failed logprob gate, treat the window as silence above this <|nospeech|> probability")),
+        ("--word_timestamps", dict(type=str2bool, default=False,
+                                   help="attach per-word timings via cross-attention DTW")),
+        ("--prepend_punctuations", dict(type=str, default="\"'“¿([{-",
+                                        help="with word_timestamps, glue these onto the following word")),
+        ("--append_punctuations", dict(type=str, default="\"'.。,，!！?？:：”)]}、",
+                                       help="with word_timestamps, glue these onto the preceding word")),
+        ("--highlight_words", dict(type=str2bool, default=False,
+                                   help="karaoke-style <u>word</u> highlighting in srt/vtt (needs word_timestamps)")),
+        ("--max_line_width", dict(type=optional_int, default=None,
+                                  help="subtitle line length cap (needs word_timestamps)")),
+        ("--max_line_count", dict(type=optional_int, default=None,
+                                  help="subtitle line count cap (needs word_timestamps)")),
+        ("--max_words_per_line", dict(type=optional_int, default=None,
+                                      help="subtitle word cap per line (needs word_timestamps; ignored with max_line_width)")),
+        ("--threads", dict(type=optional_int, default=0,
+                           help="host CPU threads (reference-CLI compatibility)")),
+        ("--clip_timestamps", dict(type=str, default="0",
+                                   help="process only these start,end,... second ranges (last end defaults to EOF)")),
+        ("--hallucination_silence_threshold", dict(type=optional_float,
+                                                   help="with word_timestamps, skip silences longer than this around suspected hallucinations")),
+    ]
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    for names, kwargs in flags:
+        names = (names,) if isinstance(names, str) else names
+        parser.add_argument(*names, **kwargs)
 
     args = parser.parse_args().__dict__
     model_name: str = args.pop("model")
