@@ -49,11 +49,58 @@ def test_batch_matches_sequential(model):
 def test_batch_rejects_unsupported(model):
     with pytest.raises(NotImplementedError):
         transcribe_batch(
-            model, [np.zeros(16000, np.float32)], word_timestamps=True,
-            language="en",
+            model, [np.zeros(16000, np.float32)],
+            condition_on_previous_text=True, language="en",
         )
     with pytest.raises(NotImplementedError):
         transcribe_batch(
             model, [np.zeros(16000, np.float32)],
-            condition_on_previous_text=True, language="en",
+            initial_prompt="context", language="en",
         )
+
+
+def test_batch_word_timestamps_match_sequential(model):
+    audio = whisper_tpu.load_audio(JFK)
+    audios = [audio, audio[: 16000 * 6]]
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        word_timestamps=True,
+    )
+    batch = transcribe_batch(model, audios, batch_size=2, **kw)
+    for audio_i, batched in zip(audios, batch):
+        single = model.transcribe(
+            audio_i, condition_on_previous_text=False, verbose=None, **kw
+        )
+        bw = [w for s in batched["segments"] for w in s.get("words", [])]
+        sw = [w for s in single["segments"] for w in s.get("words", [])]
+        assert len(bw) == len(sw)
+        for a, b in zip(sw, bw):
+            assert a["word"] == b["word"]
+            assert a["start"] == b["start"]
+            assert a["end"] == b["end"]
+
+
+def test_batch_alignment_heterogeneous_lengths(model):
+    """find_alignment_batch == per-segment find_alignment, mixed lengths."""
+    import numpy as np
+
+    from whisper_tpu.timing import find_alignment, find_alignment_batch
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    rng = np.random.RandomState(0)
+    mels = rng.randn(2, 80, 3000).astype(np.float32) * 0.3
+    texts = [
+        tokenizer.encode(" And so my fellow Americans ask not"),
+        tokenizer.encode(" hello"),
+    ]
+    frames = [2200, 900]
+    batch = find_alignment_batch(model, tokenizer, texts, mels, frames)
+    for i in range(2):
+        single = find_alignment(model, tokenizer, texts[i], mels[i], frames[i])
+        assert len(batch[i]) == len(single)
+        for a, b in zip(single, batch[i]):
+            assert a.word == b.word
+            assert a.start == b.start and a.end == b.end
+            assert abs(a.probability - b.probability) < 1e-6

@@ -12,8 +12,11 @@ detected once per file on its first window (batched), with files grouped by
 detected language.  The per-file seek/segmentation logic is shared with
 ``transcribe`` (see transcribe.segment_window).
 
+Word timestamps are supported: the alignment forward passes of all files in a
+round run as one batched device program (timing.find_alignment_batch).
+
 Not supported here (use ``transcribe`` per file): condition_on_previous_text,
-initial_prompt, clip_timestamps, word_timestamps.
+initial_prompt, clip_timestamps.
 """
 
 from typing import List, Optional, Sequence, Tuple, Union
@@ -22,11 +25,23 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .audio import HOP_LENGTH, N_FRAMES, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
+from .audio import (
+    FRAMES_PER_SECOND,
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
 from .decoding import DecodingOptions, DecodingTask
 from .tokenizer import get_tokenizer
-from .transcribe import needs_fallback, segment_window
-from .utils import exact_div
+from .transcribe import (
+    _refine_seek_with_word_timings,
+    needs_fallback,
+    segment_window,
+)
+from .utils import exact_div, get_end
 
 
 class _FileState:
@@ -37,6 +52,7 @@ class _FileState:
         self.segments: List[dict] = []
         self.tokens: List[int] = []
         self.language: Optional[str] = None
+        self.last_speech_timestamp = 0.0
 
     @property
     def done(self) -> bool:
@@ -57,6 +73,10 @@ def transcribe_batch(
     compression_ratio_threshold: Optional[float] = 2.4,
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    hallucination_silence_threshold: Optional[float] = None,
     **decode_options,
 ) -> List[dict]:
     """Transcribe many files concurrently; returns one result dict per file."""
@@ -64,7 +84,6 @@ def transcribe_batch(
         "condition_on_previous_text",
         "initial_prompt",
         "clip_timestamps",
-        "word_timestamps",
         "prompt",
     ):
         if decode_options.pop(unsupported, None):
@@ -163,6 +182,8 @@ def transcribe_batch(
                 if not pending:
                     break
 
+            # phase 1: per-file segmentation and seek advance
+            pending = []  # rows that produced segments this round
             for j, i in enumerate(rows):
                 st = states[i]
                 result = results[j]
@@ -181,27 +202,106 @@ def transcribe_batch(
                         st.seek += segment_size
                         continue
 
-                current_segments, st.seek, _ = segment_window(
+                previous_seek = st.seek
+                current_segments, st.seek, single_ts_ending = segment_window(
                     result=result,
                     tokenizer=tokenizer,
-                    seek=st.seek,
+                    seek=previous_seek,
                     segment_size=segment_size,
                     time_offset=time_offset,
                     segment_duration=segment_duration,
                     input_stride=input_stride,
                     time_precision=time_precision,
                 )
-                for segment in current_segments:
+                pending.append(
+                    dict(
+                        state=st, row=j, segments=current_segments,
+                        previous_seek=previous_seek, segment_size=segment_size,
+                        time_offset=time_offset,
+                        segment_duration=segment_duration,
+                        single_ts_ending=single_ts_ending,
+                    )
+                )
+
+            # phase 2 (word timestamps): one batched alignment program for all
+            # files that produced text this round
+            if word_timestamps and pending:
+                from .timing import add_word_timestamps, find_alignment_batch
+
+                text_tokens = [
+                    [
+                        tok
+                        for segment in p["segments"]
+                        for tok in segment["tokens"]
+                        if tok < tokenizer.eot
+                    ]
+                    for p in pending
+                ]
+                aligned_rows = [
+                    k for k, toks in enumerate(text_tokens) if len(toks) > 0
+                ]
+                alignments = find_alignment_batch(
+                    model,
+                    tokenizer,
+                    [text_tokens[k] for k in aligned_rows],
+                    np.stack([windows[pending[k]["row"]][0] for k in aligned_rows]),
+                    [pending[k]["segment_size"] for k in aligned_rows],
+                ) if aligned_rows else []
+
+                for k, alignment in zip(aligned_rows, alignments):
+                    p = pending[k]
+                    st = p["state"]
+                    add_word_timestamps(
+                        segments=p["segments"],
+                        model=model,
+                        tokenizer=tokenizer,
+                        mel=windows[p["row"]][0],
+                        num_frames=p["segment_size"],
+                        prepend_punctuations=prepend_punctuations,
+                        append_punctuations=append_punctuations,
+                        last_speech_timestamp=st.last_speech_timestamp,
+                        alignment=alignment,
+                    )
+                    window_end_time = float(
+                        (p["previous_seek"] + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE
+                    )
+                    st.seek, restart = _refine_seek_with_word_timings(
+                        p["segments"],
+                        seek=st.seek,
+                        previous_seek=p["previous_seek"],
+                        segment_size=p["segment_size"],
+                        single_timestamp_ending=p["single_ts_ending"],
+                        time_offset=p["time_offset"],
+                        window_end_time=window_end_time,
+                        segment_duration=p["segment_duration"],
+                        content_frames=st.content_frames,
+                        content_duration=float(
+                            st.content_frames * HOP_LENGTH / SAMPLE_RATE
+                        ),
+                        last_speech_timestamp=st.last_speech_timestamp,
+                        threshold=hallucination_silence_threshold,
+                    )
+                    if restart:
+                        p["segments"].clear()
+                        continue
+                    last_word_end = get_end(p["segments"])
+                    if last_word_end is not None:
+                        st.last_speech_timestamp = last_word_end
+
+            # phase 3: commit segments and tokens per file
+            for p in pending:
+                st = p["state"]
+                for segment in p["segments"]:
                     if segment["start"] == segment["end"] or not segment["text"].strip():
                         segment["text"] = ""
                         segment["tokens"] = []
                         segment["words"] = []
                 st.segments.extend(
                     {"id": k, **segment}
-                    for k, segment in enumerate(current_segments, start=len(st.segments))
+                    for k, segment in enumerate(p["segments"], start=len(st.segments))
                 )
                 st.tokens.extend(
-                    tok for segment in current_segments for tok in segment["tokens"]
+                    tok for segment in p["segments"] for tok in segment["tokens"]
                 )
 
             active = [i for i in indices if not states[i].done]

@@ -66,14 +66,16 @@ def _dtw_trace_device(x: jax.Array, n: int, m: int) -> jax.Array:
 
 
 def dtw_trace(x: jax.Array, n: int, m: int) -> jax.Array:
-    """Trace diagonals for cost matrix x: Pallas wavefront kernel on TPU,
-    lax.scan elsewhere (identical output)."""
+    """Trace diagonals for cost matrix x ((n, m) or batched (B, n, m)):
+    Pallas wavefront kernel on TPU, lax.scan elsewhere (identical output)."""
     from .kernels.attention_pallas import pallas_available
 
     if pallas_available():
         from .kernels.dtw_pallas import dtw_trace_pallas
 
         return dtw_trace_pallas(x, n, m)
+    if x.ndim == 3:
+        return jax.vmap(lambda xr: _dtw_trace_device(xr, n, m))(x)
     return _dtw_trace_device(x, n, m)
 
 

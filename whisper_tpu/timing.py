@@ -16,7 +16,7 @@ the host (C++, whisper_tpu/native/dtw.cpp).
 
 from dataclasses import dataclass
 from functools import partial
-from typing import TYPE_CHECKING, List
+from typing import TYPE_CHECKING, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,86 +67,99 @@ def _alignment_device(
     eot: int,
     medfilt_width: int,
     n_rows: int,  # static: token bucket minus sot_len (DTW row count)
-    mel: jax.Array,  # (1, n_mels, 3000)
-    tokens: jax.Array,  # (1, Tb) — sot_seq + no_timestamps + text + eot, padded
-    t_real: jax.Array,  # scalar: true token count
-    nf2: jax.Array,  # scalar: num_frames // 2 (true audio columns)
+    mel: jax.Array,  # (B, n_mels, 3000)
+    tokens: jax.Array,  # (B, Tb) — sot_seq + no_timestamps + text + eot, padded
+    t_real: jax.Array,  # (B,): true token counts
+    nf2: jax.Array,  # (B,): num_frames // 2 (true audio columns)
     qk_scale: jax.Array,
 ):
-    """Teacher-forced pass + attention pipeline + DTW trace, one XLA program."""
+    """Teacher-forced pass + attention pipeline + DTW trace, one XLA program.
+
+    Batched over segments: each row has its own true token length and frame
+    count, handled by masking and a per-row reflect remap.
+    """
     feats = encoder_apply(params, dims, mel)
     logits, qk = decoder_forward(
         params, dims, tokens, feats, alignment_heads=np.asarray(heads)
     )
 
     # per-token probabilities of the sampled text (reference timing.py:198-201)
-    sampled_logits = logits[0, sot_len:, :eot]  # (Tb - sot_len, eot)
+    sampled_logits = logits[:, sot_len:, :eot]  # (B, Tb - sot_len, eot)
     probs = jax.nn.softmax(sampled_logits.astype(jnp.float32), axis=-1)
-    next_tokens = jnp.roll(tokens[0], -1)[sot_len:]  # token predicted at row i
+    next_tokens = jnp.roll(tokens, -1, axis=1)[:, sot_len:]  # predicted at row i
     token_probs = jnp.take_along_axis(
-        probs, jnp.clip(next_tokens, 0, eot - 1)[:, None], axis=1
-    )[:, 0]
+        probs, jnp.clip(next_tokens, 0, eot - 1)[:, :, None], axis=2
+    )[:, :, 0]
 
-    # attention weights: (K, Tb, Ta) — mask frames beyond the audio content,
-    # softmax, z-normalize across real token rows (timing.py:207-211)
-    w = qk[:, 0, :, :] * qk_scale
+    # attention weights: (K, B, Tb, Ta) — mask frames beyond each row's audio,
+    # softmax, z-normalize across that row's real token rows (timing.py:207-211)
+    w = qk * qk_scale
     ta = w.shape[-1]
     frame_idx = jnp.arange(ta)
-    w = jnp.where(frame_idx[None, None, :] < nf2, w, -jnp.inf)
+    frame_ok = frame_idx[None, None, None, :] < nf2[None, :, None, None]
+    w = jnp.where(frame_ok, w, -jnp.inf)
     w = jax.nn.softmax(w, axis=-1)
 
-    row_valid = (jnp.arange(w.shape[1]) < t_real)[None, :, None]
-    denom = t_real.astype(jnp.float32)
-    mean = jnp.sum(jnp.where(row_valid, w, 0.0), axis=1, keepdims=True) / denom
+    row_valid = (
+        jnp.arange(w.shape[2])[None, None, :, None] < t_real[None, :, None, None]
+    )
+    denom = t_real.astype(jnp.float32)[None, :, None, None]
+    mean = jnp.sum(jnp.where(row_valid, w, 0.0), axis=2, keepdims=True) / denom
     var = (
-        jnp.sum(jnp.where(row_valid, (w - mean) ** 2, 0.0), axis=1, keepdims=True)
+        jnp.sum(jnp.where(row_valid, (w - mean) ** 2, 0.0), axis=2, keepdims=True)
         / denom
     )
     w = (w - mean) / jnp.sqrt(var)
 
-    # emulate the reference's reflect padding at the dynamic frame boundary so
-    # the median filter sees the same neighborhood (timing.py:35)
+    # emulate the reference's reflect padding at each row's dynamic frame
+    # boundary so the median filter sees the same neighborhood (timing.py:35)
     src = jnp.where(
-        frame_idx < nf2, frame_idx, jnp.clip(2 * (nf2 - 1) - frame_idx, 0, ta - 1)
-    )
-    w = w[:, :, src]
+        frame_idx[None, :] < nf2[:, None],
+        frame_idx[None, :],
+        jnp.clip(2 * (nf2[:, None] - 1) - frame_idx[None, :], 0, ta - 1),
+    )  # (B, Ta)
+    w = jax.vmap(lambda wb, sb: wb[:, :, sb], in_axes=(1, 0), out_axes=1)(w, src)
     w = median_filter(w, medfilt_width)
 
-    matrix = w.mean(axis=0)  # (Tb, Ta)
-    text_rows = jax.lax.slice_in_dim(matrix, sot_len, sot_len + n_rows, axis=0)
+    matrix = w.mean(axis=0)  # (B, Tb, Ta)
+    text_rows = jax.lax.slice_in_dim(matrix, sot_len, sot_len + n_rows, axis=1)
     trace_diags = dtw_trace(-text_rows, n_rows, ta)
     return token_probs, trace_diags
 
 
-def find_alignment(
+def find_alignment_batch(
     model: "Whisper",
     tokenizer: Tokenizer,
-    text_tokens: List[int],
-    mel,
-    num_frames: int,
+    text_tokens_batch: List[List[int]],
+    mels,  # (B, n_mels, 3000)
+    num_frames_batch: List[int],
     *,
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
-) -> List[WordTiming]:
-    """Align text tokens to audio frames; parity with timing.py:163-242."""
-    if len(text_tokens) == 0:
+) -> List[List[WordTiming]]:
+    """Align a batch of segments in one device program.
+
+    Per-segment results are identical to :func:`find_alignment`; all segments
+    share one (bucketed) token length, with per-row masking for the true
+    lengths and frame counts.
+    """
+    if not text_tokens_batch:
         return []
-
     sot_len = len(tokenizer.sot_sequence)
-    full = [
-        *tokenizer.sot_sequence,
-        tokenizer.no_timestamps,
-        *text_tokens,
-        tokenizer.eot,
-    ]
-    t_real = len(full)
-    tb = _token_bucket(t_real)
-    padded = np.full((1, tb), tokenizer.eot, np.int32)
-    padded[0, :t_real] = full[:tb]
 
-    mel = jnp.asarray(mel)
-    if mel.ndim == 2:
-        mel = mel[None]
+    fulls = [
+        [*tokenizer.sot_sequence, tokenizer.no_timestamps, *text, tokenizer.eot]
+        for text in text_tokens_batch
+    ]
+    t_reals = [len(f) for f in fulls]
+    tb = _token_bucket(max(t_reals))
+    padded = np.full((len(fulls), tb), tokenizer.eot, np.int32)
+    for i, f in enumerate(fulls):
+        padded[i, : min(len(f), tb)] = f[:tb]
+
+    mels = jnp.asarray(mels)
+    if mels.ndim == 2:
+        mels = mels[None]
 
     heads = tuple(map(tuple, model.alignment_heads.tolist()))
     token_probs, trace_diags = _alignment_device(
@@ -157,19 +170,44 @@ def find_alignment(
         tokenizer.eot,
         medfilt_width,
         tb - sot_len,
-        mel,
+        mels,
         jnp.asarray(padded),
-        jnp.int32(t_real),
-        jnp.int32(num_frames // 2),
+        jnp.asarray(t_reals, jnp.int32),
+        jnp.asarray([nf // 2 for nf in num_frames_batch], jnp.int32),
         jnp.float32(qk_scale),
     )
+    token_probs = np.asarray(token_probs)
+    trace_diags = np.asarray(trace_diags)
 
-    text_token_probs = np.asarray(token_probs)[: len(text_tokens)].tolist()
+    out: List[List[WordTiming]] = []
+    for i, text_tokens in enumerate(text_tokens_batch):
+        if len(text_tokens) == 0:
+            out.append([])
+            continue
+        out.append(
+            _timings_from_alignment(
+                tokenizer,
+                text_tokens,
+                token_probs[i],
+                trace_diags[i],
+                sot_len=sot_len,
+                t_real=t_reals[i],
+                tb=tb,
+                m_real=num_frames_batch[i] // 2,
+            )
+        )
+    return out
+
+
+def _timings_from_alignment(
+    tokenizer, text_tokens, token_probs, trace_diags, *, sot_len, t_real, tb, m_real
+) -> List[WordTiming]:
+    """Host post-processing: backtrace, word splitting, jump-time extraction."""
+    text_token_probs = token_probs[: len(text_tokens)].tolist()
 
     # rows: no_timestamps + text tokens (the reference's [len(sot):-1] slice)
     n_real = t_real - sot_len - 1
-    m_real = num_frames // 2
-    trace = _unskew_trace(np.asarray(trace_diags), tb - sot_len, 1500)
+    trace = _unskew_trace(trace_diags, tb - sot_len, trace_diags.shape[0] - (tb - sot_len) - 1)
     trace = trace[: n_real + 1, : m_real + 1]
     text_indices, time_indices = backtrace(trace)
 
@@ -194,6 +232,28 @@ def find_alignment(
             words, word_tokens, start_times, end_times, word_probabilities
         )
     ]
+
+
+def find_alignment(
+    model: "Whisper",
+    tokenizer: Tokenizer,
+    text_tokens: List[int],
+    mel,
+    num_frames: int,
+    *,
+    medfilt_width: int = 7,
+    qk_scale: float = 1.0,
+) -> List[WordTiming]:
+    """Align text tokens to audio frames; parity with timing.py:163-242."""
+    if len(text_tokens) == 0:
+        return []
+    mel = jnp.asarray(mel)
+    if mel.ndim == 2:
+        mel = mel[None]
+    return find_alignment_batch(
+        model, tokenizer, [text_tokens], mel, [num_frames],
+        medfilt_width=medfilt_width, qk_scale=qk_scale,
+    )[0]
 
 
 def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
@@ -239,9 +299,14 @@ def add_word_timestamps(
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     last_speech_timestamp: float,
+    alignment: Optional[List[WordTiming]] = None,
     **kwargs,
 ):
-    """Attach per-word timings to segments; parity with timing.py:279-388."""
+    """Attach per-word timings to segments; parity with timing.py:279-388.
+
+    ``alignment`` may be precomputed (e.g. by :func:`find_alignment_batch`
+    across many windows); otherwise it is computed here.
+    """
     if len(segments) == 0:
         return
 
@@ -251,7 +316,10 @@ def add_word_timestamps(
     ]
 
     text_tokens = [t for seg in text_tokens_per_segment for t in seg]
-    alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames, **kwargs)
+    if alignment is None:
+        alignment = find_alignment(
+            model, tokenizer, text_tokens, mel, num_frames, **kwargs
+        )
     word_durations = np.array([t.end - t.start for t in alignment])
     word_durations = word_durations[word_durations.nonzero()]
     median_duration = np.median(word_durations) if len(word_durations) > 0 else 0.0
