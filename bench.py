@@ -34,6 +34,7 @@ def main():
     parser.add_argument("--tokens", type=int, default=110)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quantize", default=None, choices=[None, "int8"])
+    parser.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     args = parser.parse_args()
 
     import jax
@@ -65,7 +66,8 @@ def main():
     mel = rng.randn(args.batch, dims.n_mels, 3000).astype(np.float32) * 0.3
 
     options = DecodingOptions(
-        language="en", task="transcribe", temperature=0.0, sample_len=args.tokens
+        language="en", task="transcribe", temperature=0.0, sample_len=args.tokens,
+        beam_size=args.beam or None,
     )
     task = DecodingTask(model, options)
 
@@ -84,7 +86,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"rtf_{model_name.replace('-', '_')}_greedy_b{args.batch}"
+                "metric": f"rtf_{model_name.replace('-', '_')}_"
+                + (f"beam{args.beam}" if args.beam else "greedy")
+                + f"_b{args.batch}"
                 + ("_int8" if args.quantize == "int8" else ""),
                 "value": round(rtf, 2),
                 "unit": "audio_sec_per_sec_per_chip",
