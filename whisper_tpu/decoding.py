@@ -116,7 +116,7 @@ class DecodingOptions:
 
 @dataclass(frozen=True)
 class DecodingResult:
-    audio_features: Optional[np.ndarray]
+    audio_features: Optional[object]  # device array (B dropped), kept lazy
     language: str
     language_probs: Optional[Dict[str, float]] = None
     tokens: List[int] = field(default_factory=list)
@@ -312,10 +312,9 @@ class DecodingTask:
                 initial[:, self.sot_index + 1] = lang_tokens
 
         if self.options.task == "lang_id":
-            feats = np.asarray(audio_features)
             return [
                 DecodingResult(
-                    audio_features=feats[i], language=languages[i],
+                    audio_features=audio_features[i], language=languages[i],
                     language_probs=language_probs[i],
                 )
                 for i in range(n_audio)
@@ -359,7 +358,10 @@ class DecodingTask:
         seq_len = int(result.seq_len)
         sum_logprobs = np.asarray(result.sum_logprobs)
         no_speech_probs = np.asarray(result.no_speech_probs)
-        audio_features = np.asarray(result.audio_features)
+        # keep encoder features on device: they are large (B x 1500 x C) and
+        # only needed if the caller reuses them (reference also returns the
+        # device tensor, decoding.py:776-777)
+        audio_features = result.audio_features
 
         def trim(seq: List[int]) -> List[int]:
             """slice [sample_begin : first EOT] (decoding.py:749-752)"""
