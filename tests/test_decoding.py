@@ -65,6 +65,8 @@ CONFIGS = [
     dict(temperature=0.0, suppress_tokens=[11, 13, 30]),
     dict(temperature=0.0, beam_size=5, length_penalty=0.6),
     dict(temperature=0.0, max_initial_timestamp=0.5),
+    dict(temperature=0.0, language="ko"),
+    dict(temperature=0.0, language="de", task="translate", beam_size=2),
 ]
 
 
@@ -73,7 +75,9 @@ def test_token_exact(models, jfk_mel, cfg):
     import torch
 
     ref_whisper, ref_model, model = models
-    base = dict(language="en", fp16=False)
+    base = dict(fp16=False)
+    cfg = dict(cfg)
+    cfg.setdefault("language", "en")
     ref_res = ref_whisper.decode(
         ref_model, torch.from_numpy(jfk_mel.copy()),
         ref_whisper.DecodingOptions(**base, **cfg),
