@@ -306,9 +306,6 @@ def transcribe_batch(
 
             active = [i for i in indices if not states[i].done]
 
-        for i in indices:
-            states[i].tokenizer = tokenizer
-
     return [
         dict(
             text=get_tokenizer(
