@@ -31,7 +31,8 @@ def test_batch_matches_sequential(model):
         language="en", temperature=0.0,
         compression_ratio_threshold=None, logprob_threshold=None,
     )
-    batch = transcribe_batch(model, audios, batch_size=3, **kw)
+    batch = transcribe_batch(model, audios, batch_size=3,
+                             condition_on_previous_text=False, **kw)
     for audio_i, batched in zip(audios, batch):
         single = model.transcribe(
             audio_i, condition_on_previous_text=False, verbose=None, **kw
@@ -50,13 +51,34 @@ def test_batch_rejects_unsupported(model):
     with pytest.raises(NotImplementedError):
         transcribe_batch(
             model, [np.zeros(16000, np.float32)],
-            condition_on_previous_text=True, language="en",
+            initial_prompt="context", language="en",
         )
     with pytest.raises(NotImplementedError):
         transcribe_batch(
             model, [np.zeros(16000, np.float32)],
-            initial_prompt="context", language="en",
+            clip_timestamps="2,8", language="en",
         )
+
+
+def test_batch_with_prompt_conditioning_matches_sequential(model):
+    """Default (condition_on_previous_text=True) semantics match transcribe."""
+    audio = whisper_tpu.load_audio(JFK)
+    rng = np.random.RandomState(3)
+    audios = [audio, (rng.randn(16000 * 9) * 0.1).astype(np.float32)]
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+    )
+    batch = transcribe_batch(model, audios, batch_size=2,
+                             condition_on_previous_text=True, **kw)
+    for audio_i, batched in zip(audios, batch):
+        single = model.transcribe(
+            audio_i, condition_on_previous_text=True, verbose=None, **kw
+        )
+        assert batched["text"] == single["text"]
+        assert [s["tokens"] for s in batched["segments"]] == [
+            s["tokens"] for s in single["segments"]
+        ]
 
 
 def test_batch_word_timestamps_match_sequential(model):
@@ -67,7 +89,8 @@ def test_batch_word_timestamps_match_sequential(model):
         compression_ratio_threshold=None, logprob_threshold=None,
         word_timestamps=True,
     )
-    batch = transcribe_batch(model, audios, batch_size=2, **kw)
+    batch = transcribe_batch(model, audios, batch_size=2,
+                             condition_on_previous_text=False, **kw)
     for audio_i, batched in zip(audios, batch):
         single = model.transcribe(
             audio_i, condition_on_previous_text=False, verbose=None, **kw

@@ -178,3 +178,65 @@ def test_sampling_runs_at_high_temperature(models):
     tokenizer_eot = 50257
     assert all(t != tokenizer_eot for t in r.tokens)  # EOT is trimmed
     assert np.isfinite(r.avg_logprob)
+
+
+def test_run_with_prompts_matches_individual(models, jfk_mel):
+    """Per-row prompt batching must equal per-row decode() with that prompt."""
+    from whisper_tpu.decoding import DecodingTask
+
+    _, _, model = models
+    tok = model and None  # noqa: F841
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    prompts = [
+        [],
+        tokenizer.encode(" and so my fellow"),
+        tokenizer.encode(
+            " a considerably longer previous-context prompt that spans many more"
+            " tokens than the short ones, to force differing row lengths"
+        ),
+    ]
+    mels = np.stack([jfk_mel] * 3)
+
+    task = DecodingTask(
+        model,
+        whisper_tpu.DecodingOptions(language="en", temperature=0.0, sample_len=32),
+    )
+    batch_results = task.run_with_prompts(mels, prompts)
+
+    for i, prompt in enumerate(prompts):
+        opts = whisper_tpu.DecodingOptions(
+            language="en", temperature=0.0, sample_len=32,
+            prompt=prompt if prompt else None,
+        )
+        single = model.decode(jfk_mel, opts)
+        assert batch_results[i].tokens == single.tokens, f"row {i}"
+        assert abs(batch_results[i].avg_logprob - single.avg_logprob) < 1e-3
+
+
+def test_run_with_prompts_beam(models, jfk_mel):
+    from whisper_tpu.decoding import DecodingTask
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    _, _, model = models
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    prompts = [[], tokenizer.encode(" previous context words")]
+    mels = np.stack([jfk_mel] * 2)
+
+    task = DecodingTask(
+        model,
+        whisper_tpu.DecodingOptions(
+            language="en", temperature=0.0, sample_len=24, beam_size=3
+        ),
+    )
+    batch_results = task.run_with_prompts(mels, prompts)
+    for i, prompt in enumerate(prompts):
+        single = model.decode(
+            jfk_mel,
+            whisper_tpu.DecodingOptions(
+                language="en", temperature=0.0, sample_len=24, beam_size=3,
+                prompt=prompt if prompt else None,
+            ),
+        )
+        assert batch_results[i].tokens == single.tokens, f"row {i}"

@@ -5,18 +5,19 @@ Not in the reference (its ``transcribe`` handles one file at a time, and its
 bandwidth-bound on weights, so decoding windows from many files in lockstep
 batches multiplies throughput at near-zero cost per extra stream.
 
-Semantics: identical to ``transcribe(..., condition_on_previous_text=False)``
-per file — windows are prompt-free, which is what makes cross-file batching
-exact (all rows share one initial-token shape).  Language is either pinned or
-detected once per file on its first window (batched), with files grouped by
-detected language.  The per-file seek/segmentation logic is shared with
-``transcribe`` (see transcribe.segment_window).
+Semantics: identical per file to ``transcribe`` — including the default
+``condition_on_previous_text=True`` prompt conditioning, because the decode
+engine supports per-row positions (each file's window carries its own prompt
+length; see decoding.DecodingTask.run_with_prompts).  Language is either
+pinned or detected once per file on its first window (batched), with files
+grouped by detected language.  The per-file seek/segmentation logic is shared
+with ``transcribe`` (see transcribe.segment_window).
 
 Word timestamps are supported: the alignment forward passes of all files in a
 round run as one batched device program (timing.find_alignment_batch).
 
-Not supported here (use ``transcribe`` per file): condition_on_previous_text,
-initial_prompt, clip_timestamps.
+Not supported here (use ``transcribe`` per file): initial_prompt,
+clip_timestamps, hallucination seek-restart across rounds.
 """
 
 from typing import List, Optional, Sequence, Tuple, Union
@@ -53,6 +54,7 @@ class _FileState:
         self.tokens: List[int] = []
         self.language: Optional[str] = None
         self.last_speech_timestamp = 0.0
+        self.prompt_reset_since = 0
 
     @property
     def done(self) -> bool:
@@ -73,6 +75,7 @@ def transcribe_batch(
     compression_ratio_threshold: Optional[float] = 2.4,
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
     word_timestamps: bool = False,
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
@@ -81,7 +84,6 @@ def transcribe_batch(
 ) -> List[dict]:
     """Transcribe many files concurrently; returns one result dict per file."""
     for unsupported in (
-        "condition_on_previous_text",
         "initial_prompt",
         "clip_timestamps",
         "prompt",
@@ -160,11 +162,23 @@ def transcribe_batch(
                                     mels.dtype)]
                 )
 
+            # per-file prompt: everything accepted since the last reset
+            # (transcribe's condition_on_previous_text semantics)
+            prompts = [
+                states[i].tokens[states[i].prompt_reset_since :]
+                if condition_on_previous_text
+                else []
+                for i in rows
+            ]
+            prompts += [[]] * (batch_size - len(rows))
+
             # temperature-fallback ladder over the whole batch; rows that have
             # already passed the gates keep their earlier result
             results = [None] * len(rows)
             for t in temperatures:
-                batch_results = get_task(t).run(jnp.asarray(mels))
+                batch_results = get_task(t).run_with_prompts(
+                    jnp.asarray(mels), prompts
+                )
                 pending = False
                 for j in range(len(rows)):
                     if results[j] is not None:
@@ -216,6 +230,7 @@ def transcribe_batch(
                 pending.append(
                     dict(
                         state=st, row=j, segments=current_segments,
+                        result=result,
                         previous_seek=previous_seek, segment_size=segment_size,
                         time_offset=time_offset,
                         segment_duration=segment_duration,
@@ -303,6 +318,9 @@ def transcribe_batch(
                 st.tokens.extend(
                     tok for segment in p["segments"] for tok in segment["tokens"]
                 )
+                if not condition_on_previous_text or p["result"].temperature > 0.5:
+                    # don't condition on text produced at high temperature
+                    st.prompt_reset_since = len(st.tokens)
 
             active = [i for i in indices if not states[i].done]
 

@@ -346,16 +346,86 @@ class DecodingTask:
         )
         return self._assemble(result, languages, language_probs, n_audio)
 
+    def run_with_prompts(self, mel, prompts: List[List[int]]) -> List[DecodingResult]:
+        """Decode a batch where each row carries its own prompt tokens.
+
+        Per-row semantics are identical to running decode() once per row with
+        ``DecodingOptions(prompt=prompts[i])`` — the engine supports per-row
+        positions, so rows with different prompt lengths share one compiled
+        program.  This is what lets transcribe_batch keep per-file
+        condition_on_previous_text conditioning.
+        """
+        if self.options.language is None:
+            raise ValueError("run_with_prompts requires a pinned language")
+        if self.options.prompt or self.options.prefix:
+            raise ValueError("options-level prompt/prefix conflict with per-row prompts")
+
+        tokenizer = self.tokenizer
+        mel = jnp.asarray(mel)
+        n_audio = mel.shape[0]
+        assert len(prompts) == n_audio
+        features_given = mel.shape[-2:] == (
+            self.model.dims.n_audio_ctx,
+            self.model.dims.n_audio_state,
+        )
+
+        max_prompt = self.n_ctx // 2 - 1
+        rows: List[List[int]] = []
+        for prompt in prompts:
+            tokens = list(self.sot_sequence)
+            if prompt:
+                tokens = [tokenizer.sot_prev] + list(prompt)[-max_prompt:] + tokens
+            rows.append(tokens)
+        sample_begins = [len(r) for r in rows]
+        sot_indices = [r.index(tokenizer.sot) for r in rows]
+
+        from dataclasses import replace as dc_replace
+
+        P = prefill_bucket(max(sample_begins), self.n_ctx)
+        spec = dc_replace(self.spec, prefill_len=P)
+        initial_padded = np.zeros((n_audio, P), np.int32)
+        for i, r in enumerate(rows):
+            initial_padded[i, : len(r)] = r
+
+        result = decode_engine(
+            self.model.params,
+            self.model.dims,
+            spec,
+            mel,
+            jnp.asarray(initial_padded),
+            jnp.asarray(sample_begins, jnp.int32),
+            jnp.asarray(sot_indices, jnp.int32),
+            jnp.int32(self.sample_len),
+            jnp.float32(self.options.temperature),
+            FilterArgs(
+                suppress_mask=self._suppress_mask,
+                blank_mask=self._blank_mask,
+                sample_begin=jnp.asarray(sample_begins, jnp.int32),
+                max_initial_ts_index=jnp.int32(self._max_initial_ts_index),
+            ),
+            jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)),
+            features_given=features_given,
+        )
+        languages = [self.options.language] * n_audio
+        return self._assemble(
+            result, languages, None, n_audio, sample_begins=sample_begins
+        )
+
     # -- host finalize (parity with decoding.py:384-404,712-789) ------------
 
-    def _assemble(self, result, languages, language_probs, n_audio):
+    def _assemble(self, result, languages, language_probs, n_audio,
+                  sample_begins=None):
         tokenizer = self.tokenizer
         eot = tokenizer.eot
-        sb = self.sample_begin
         G = self.n_group
+        if sample_begins is None:
+            sample_begins = [self.sample_begin] * n_audio
 
         tokens_buf = np.asarray(result.tokens)  # (B, n_ctx+1)
-        seq_len = int(result.seq_len)
+        seq_lens = np.minimum(
+            np.broadcast_to(np.asarray(result.seq_len), (tokens_buf.shape[0],)),
+            tokens_buf.shape[1],
+        )
         sum_logprobs = np.asarray(result.sum_logprobs)
         no_speech_probs = np.asarray(result.no_speech_probs)
         # keep encoder features on device: they are large (B x 1500 x C) and
@@ -363,7 +433,7 @@ class DecodingTask:
         # device tensor, decoding.py:776-777)
         audio_features = result.audio_features
 
-        def trim(seq: List[int]) -> List[int]:
+        def trim(seq: List[int], sb: int) -> List[int]:
             """slice [sample_begin : first EOT] (decoding.py:749-752)"""
             seq = list(seq) + [eot]
             return seq[sb : seq.index(eot, sb) if eot in seq[sb:] else len(seq)]
@@ -377,27 +447,34 @@ class DecodingTask:
             fin_count = np.asarray(result.fin_count)
             beam = self.spec.beam_size
             for i in range(n_audio):
+                # finished rows carry their own EOT; trim() stops there
                 seqs = [
-                    list(fin_tokens[i, j, :seq_len])
-                    for j in range(int(fin_count[i]))
+                    list(fin_tokens[i, j]) for j in range(int(fin_count[i]))
                 ]
                 scores = [float(fin_scores[i, j]) for j in range(int(fin_count[i]))]
                 if len(seqs) < beam:
                     # top-up with unfinished beams by score (decoding.py:384-395)
                     group_lp = sum_logprobs[i * G : (i + 1) * G]
                     for j in list(np.argsort(group_lp))[::-1]:
+                        row = i * G + j
                         seqs.append(
-                            list(tokens_buf[i * G + j, :seq_len]) + [eot]
+                            list(tokens_buf[row, : seq_lens[row]]) + [eot]
                         )
                         scores.append(float(group_lp[j]))
                         if len(seqs) >= beam:
                             break
-                grouped_tokens.append([trim(s) for s in seqs])
+                grouped_tokens.append([trim(s, sample_begins[i]) for s in seqs])
                 grouped_scores.append(scores)
         else:
             for i in range(n_audio):
                 grouped_tokens.append(
-                    [trim(tokens_buf[i * G + j, :seq_len]) for j in range(G)]
+                    [
+                        trim(
+                            tokens_buf[i * G + j, : seq_lens[i * G + j]],
+                            sample_begins[i],
+                        )
+                        for j in range(G)
+                    ]
                 )
                 grouped_scores.append(
                     [float(sum_logprobs[i * G + j]) for j in range(G)]

@@ -75,13 +75,13 @@ class FilterArgs(NamedTuple):
 
     suppress_mask: jax.Array  # (V,) bool — SuppressTokens set
     blank_mask: jax.Array  # (V,) bool — " " + EOT, applied at sample start
-    sample_begin: jax.Array  # scalar i32 == initial token length
+    sample_begin: jax.Array  # (B,) i32 — per-row initial token length
     max_initial_ts_index: jax.Array  # scalar i32, -1 if unlimited
 
 
 class EngineResult(NamedTuple):
     tokens: jax.Array  # (B, n_ctx+1) i32 token buffer
-    seq_len: jax.Array  # scalar i32 — total length written
+    seq_len: jax.Array  # (B,) i32 — per-row total length written
     sum_logprobs: jax.Array  # (B,) f32
     no_speech_probs: jax.Array  # (n_audio,) f32
     audio_features: jax.Array  # (n_audio, Ta, C)
@@ -93,7 +93,8 @@ class EngineResult(NamedTuple):
 
 class _LoopState(NamedTuple):
     tokens: jax.Array
-    t: jax.Array
+    t: jax.Array  # (B,) i32 — per-row write positions (initial_len + step)
+    step: jax.Array  # scalar i32 — shared sampling-step counter
     cache: KVCache
     cur_logits: jax.Array  # (B, V) f32 — logits for the next selection
     sum_logprobs: jax.Array
@@ -114,11 +115,16 @@ def _latest_timestamp(
 ) -> Tuple[jax.Array, jax.Array]:
     """Most recent timestamp token in the sampled region [sample_begin, t).
 
-    Returns (has_any (B,) bool, value (B,) i32).  Recomputed from the token
-    buffer each step so that beam reordering carries no extra state.
+    t and sample_begin are per-row (B,) vectors.  Returns (has_any (B,) bool,
+    value (B,) i32).  Recomputed from the token buffer each step so that beam
+    reordering carries no extra state.
     """
     positions = jnp.arange(tokens.shape[1])[None, :]
-    mask = (positions >= sample_begin) & (positions < t) & (tokens >= ts_begin)
+    mask = (
+        (positions >= sample_begin[:, None])
+        & (positions < t[:, None])
+        & (tokens >= ts_begin)
+    )
     last_pos = jnp.where(mask, positions, -1).max(axis=1)
     has_any = last_pos >= 0
     value = jnp.take_along_axis(
@@ -131,11 +137,13 @@ def apply_logit_filters(
     spec: EngineSpec,
     logits: jax.Array,  # (B, V) f32
     tokens: jax.Array,  # (B, n_ctx+1)
-    t: jax.Array,  # scalar: current length (next write position)
+    t: jax.Array,  # (B,) or scalar: current length (next write position)
     f: FilterArgs,
 ) -> jax.Array:
     B, V = logits.shape
-    at_start = t == f.sample_begin
+    t = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
+    sample_begin = jnp.broadcast_to(f.sample_begin, (B,)).astype(jnp.int32)
+    at_start = (t == sample_begin)[:, None]
     vocab = jnp.arange(V)
 
     # SuppressBlank (decoding.py:423-430): " " and EOT at the sample start
@@ -152,12 +160,12 @@ def apply_logit_filters(
     logits = jnp.where(vocab[None, :] == spec.no_timestamps, NEG_INF, logits)
 
     prev = jnp.take_along_axis(
-        tokens, jnp.maximum(t - 1, 0)[None, None].repeat(B, 0), axis=1
+        tokens, jnp.maximum(t - 1, 0)[:, None], axis=1
     )[:, 0]
     penult = jnp.take_along_axis(
-        tokens, jnp.maximum(t - 2, 0)[None, None].repeat(B, 0), axis=1
+        tokens, jnp.maximum(t - 2, 0)[:, None], axis=1
     )[:, 0]
-    sampled_len = t - f.sample_begin
+    sampled_len = t - sample_begin
     last_was_ts = (sampled_len >= 1) & (prev >= ts_begin)
     # fewer than two sampled tokens counts as "penultimate was timestamp"
     penult_was_ts = (sampled_len < 2) | (penult >= ts_begin)
@@ -175,7 +183,7 @@ def apply_logit_filters(
 
     # monotonicity: no timestamp below the most recent one; strictly above it
     # unless we are mid-pair (decoding.py:477-484)
-    has_ts, last_ts = _latest_timestamp(tokens, t, f.sample_begin, ts_begin)
+    has_ts, last_ts = _latest_timestamp(tokens, t, sample_begin, ts_begin)
     ts_floor = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
     ts_mask = (
         has_ts[:, None]
@@ -215,8 +223,14 @@ def apply_logit_filters(
 
 
 def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature):
-    """GreedyDecoder.update parity (decoding.py:277-293)."""
+    """GreedyDecoder.update parity (decoding.py:277-293).
+
+    Per-row positions: a row whose buffer is full (t > n_ctx) is "capped" —
+    its per-file decode would have stopped, so its tokens and logprob sum
+    freeze (the write position is out of bounds and dropped).
+    """
     tokens, t = state.tokens, state.t
+    n_ctx1 = tokens.shape[1]  # n_ctx + 1
     key, subkey = jax.random.split(state.key)
 
     if spec.argmax:
@@ -228,44 +242,50 @@ def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature):
 
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     current = jnp.take_along_axis(logprobs, next_tokens[:, None], axis=1)[:, 0]
-    prev = jnp.take_along_axis(
-        tokens, (t - 1)[None, None].repeat(tokens.shape[0], 0), axis=1
-    )[:, 0]
-    not_finished = prev != spec.eot
+    prev = jnp.take_along_axis(tokens, jnp.maximum(t - 1, 0)[:, None], axis=1)[:, 0]
+    capped = t >= n_ctx1
+    not_finished = (prev != spec.eot) & ~capped
     sum_logprobs = state.sum_logprobs + current * not_finished
-    next_tokens = jnp.where(not_finished, next_tokens, spec.eot)
+    next_tokens = jnp.where(prev != spec.eot, next_tokens, spec.eot)
 
-    tokens = jax.lax.dynamic_update_slice(tokens, next_tokens[:, None], (0, t))
-    completed = jnp.all(next_tokens == spec.eot)
+    tokens = tokens.at[jnp.arange(tokens.shape[0]), t].set(
+        next_tokens, mode="drop"
+    )
+    completed = jnp.all((next_tokens == spec.eot) | capped)
     return state._replace(
         tokens=tokens,
         t=t + 1,
+        step=state.step + 1,
         sum_logprobs=sum_logprobs,
         completed=completed,
         key=key,
     )
 
 
-def _beam_update(spec: EngineSpec, state: _LoopState, logits, initial_len):
+def _beam_update(spec: EngineSpec, state: _LoopState, logits):
     """BeamSearchDecoder.update parity (decoding.py:323-382), fixed shapes.
 
     Candidate order (beam-major, top-k rank within beam) plus a stable sort
     reproduces the reference's sorted-dict iteration; the first update only
     draws candidates from beam 0, which is equivalent to the reference's
-    dict-dedup across initially-identical beams.
+    dict-dedup across initially-identical beams.  Per-group positions: an
+    audio group whose buffer is full freezes entirely (no new candidates, no
+    reordering) — its per-file decode would have stopped.
     """
     beam = spec.beam_size
     k = beam + 1
     B = state.tokens.shape[0]
     n_audio = B // beam
     tokens, t = state.tokens, state.t
+    n_ctx1 = tokens.shape[1]
+    capped_row = t >= n_ctx1  # (B,), group-constant
 
     logprobs = jax.nn.log_softmax(logits, axis=-1)  # (B, V)
     top_lp, top_tok = jax.lax.top_k(logprobs, k)  # (B, k)
     cand_scores = state.sum_logprobs[:, None] + top_lp
     # first update: all beams are identical — only beam 0 contributes
     beam_idx = jnp.arange(B) % beam
-    first = t == initial_len
+    first = state.step == 0
     cand_scores = jnp.where(
         (first & (beam_idx > 0))[:, None], NEG_INF, cand_scores
     )
@@ -295,9 +315,18 @@ def _beam_update(spec: EngineSpec, state: _LoopState, logits, initial_len):
         jnp.arange(n_audio)[:, None] * beam + sel_src
     ).reshape(B)
 
+    # capped groups freeze: their beams keep their slots and scores
+    capped_audio = capped_row.reshape(n_audio, beam)[:, 0]
+    own_src = jnp.broadcast_to(jnp.arange(beam)[None, :], (n_audio, beam))
+    sel_src = jnp.where(capped_audio[:, None], own_src, sel_src)
+    sel_score = jnp.where(
+        capped_audio[:, None], state.sum_logprobs.reshape(n_audio, beam), sel_score
+    )
+    src_global = (jnp.arange(n_audio)[:, None] * beam + sel_src).reshape(B)
+
     # --- finished sequences: EOT candidates above the cut, appended in score
     # order until the patience budget is full (decoding.py:367-375) ---
-    fin_mask = processed & is_eot
+    fin_mask = processed & is_eot & ~capped_audio[:, None]
     fin_rank = jnp.cumsum(fin_mask, axis=1)
     write_pos = state.fin_count[:, None] + fin_rank - 1
     write_pos = jnp.where(
@@ -308,11 +337,12 @@ def _beam_update(spec: EngineSpec, state: _LoopState, logits, initial_len):
         jnp.arange(n_audio)[:, None] * beam + s_src
     )  # (n_audio, beam*k) global rows
     fin_rows = tokens[src_rows]  # (n_audio, beam*k, n_ctx+1)
-    fin_rows = jax.lax.dynamic_update_slice(
-        fin_rows,
-        jnp.full((n_audio, beam * k, 1), spec.eot, jnp.int32),
-        (0, 0, t),
-    )
+    t_audio = t.reshape(n_audio, beam)[:, 0]
+    fin_rows = fin_rows.at[
+        jnp.arange(n_audio)[:, None],
+        jnp.arange(beam * k)[None, :],
+        jnp.clip(t_audio, 0, n_ctx1 - 1)[:, None],
+    ].set(spec.eot)
     fin_tokens = state.fin_tokens.at[
         jnp.arange(n_audio)[:, None], write_pos
     ].set(fin_rows, mode="drop")
@@ -324,8 +354,8 @@ def _beam_update(spec: EngineSpec, state: _LoopState, logits, initial_len):
 
     # --- apply the beam permutation to tokens and KV cache ---
     new_tokens = tokens[src_global]
-    new_tokens = jax.lax.dynamic_update_slice(
-        new_tokens, sel_tok.reshape(B, 1), (0, t)
+    new_tokens = new_tokens.at[jnp.arange(B), t].set(
+        sel_tok.reshape(B), mode="drop"
     )
 
     identity = jnp.all(src_global == jnp.arange(B))
@@ -338,10 +368,11 @@ def _beam_update(spec: EngineSpec, state: _LoopState, logits, initial_len):
 
     cache = jax.lax.cond(identity, lambda c: c, reorder, state.cache)
 
-    completed = jnp.all(fin_count >= spec.max_candidates)
+    completed = jnp.all((fin_count >= spec.max_candidates) | capped_audio)
     return state._replace(
         tokens=new_tokens,
         t=t + 1,
+        step=state.step + 1,
         cache=cache,
         sum_logprobs=sel_score.reshape(B),
         completed=completed,
@@ -366,21 +397,28 @@ def decode_engine(
     spec: EngineSpec,
     mel_or_features: jax.Array,  # (n_audio, n_mels, 3000) or (n_audio, Ta, C)
     initial_tokens: jax.Array,  # (n_audio, prefill_len) i32, right-padded
-    initial_len: jax.Array,  # scalar i32
-    sot_index: jax.Array,  # scalar i32 (position of <|sot|>)
+    initial_len: jax.Array,  # (n_audio,) i32 — per-row initial token lengths
+    sot_index: jax.Array,  # (n_audio,) i32 — position of <|sot|> per row
     sample_len: jax.Array,  # scalar i32
     temperature: jax.Array,  # scalar f32
     filter_args: FilterArgs,
     rng_key: jax.Array,
     features_given: bool = False,
 ) -> EngineResult:
-    """Decode one batch of 30-second segments entirely on device."""
+    """Decode one batch of 30-second segments entirely on device.
+
+    Rows may have different prompt lengths: initial_len/sot_index (and
+    FilterArgs.sample_begin) are per-row vectors, which is what lets
+    transcribe_batch keep per-file prompt conditioning.
+    """
     n_audio = mel_or_features.shape[0]
     G = spec.n_group
     B = n_audio * G
     n_ctx = dims.n_text_ctx
     P = spec.prefill_len
     compute_dtype = params["decoder"]["tok_emb"].dtype
+    initial_len = jnp.broadcast_to(initial_len, (n_audio,)).astype(jnp.int32)
+    sot_index = jnp.broadcast_to(sot_index, (n_audio,)).astype(jnp.int32)
 
     # 1) encoder (or passthrough of precomputed features), at n_audio
     if features_given:
@@ -392,23 +430,35 @@ def decode_engine(
     xk, xv = compute_cross_kv(params, dims, audio_features)
     hidden, pk, pv = decoder_prefill(params, dims, initial_tokens, xk, xv)
 
-    # no-speech probability from the unfiltered logits at the SOT position
-    # (reference decoding.py:689-693)
+    # no-speech probability from the unfiltered logits at each row's SOT
+    # position (reference decoding.py:689-693)
     if spec.no_speech >= 0:
-        sot_hidden = jax.lax.dynamic_slice_in_dim(hidden, sot_index, 1, axis=1)
-        sot_probs = jax.nn.softmax(project_logits(params, sot_hidden)[:, 0], axis=-1)
+        sot_hidden = jnp.take_along_axis(
+            hidden, sot_index[:, None, None], axis=1
+        )[:, 0]
+        sot_probs = jax.nn.softmax(
+            project_logits(params, sot_hidden), axis=-1
+        )
         no_speech_probs = sot_probs[:, spec.no_speech]
     else:
         no_speech_probs = jnp.full((n_audio,), jnp.nan, jnp.float32)
 
-    # logits for the first sampled position
-    last_hidden = jax.lax.dynamic_slice_in_dim(hidden, initial_len - 1, 1, axis=1)
-    first_logits = project_logits(params, last_hidden)[:, 0]  # (n_audio, V)
+    # logits for each row's first sampled position
+    last_hidden = jnp.take_along_axis(
+        hidden, (initial_len - 1)[:, None, None], axis=1
+    )[:, 0]
+    first_logits = project_logits(params, last_hidden)  # (n_audio, V)
 
     # 3) tile to n_audio * n_group rows (beam / best-of), install the cache
     def tile(x, axis):
         return jnp.repeat(x, G, axis=axis)
 
+    filter_args = filter_args._replace(
+        sample_begin=tile(
+            jnp.broadcast_to(filter_args.sample_begin, (n_audio,)).astype(jnp.int32),
+            0,
+        )
+    )
     cache = init_kv_cache(dims, B, tile(xk, 1), tile(xv, 1), compute_dtype)
     cache = cache._replace(
         self_k=cache.self_k.at[:, :, :, :P, :].set(tile(pk, 1)),
@@ -418,11 +468,13 @@ def decode_engine(
     tokens = jnp.zeros((B, n_ctx + 1), jnp.int32)
     tokens = tokens.at[:, :P].set(tile(initial_tokens, 0))
     first_logits = tile(first_logits, 0)
+    t0 = tile(initial_len, 0)  # (B,)
 
     n_fin = max(spec.max_candidates, 1)
     state = _LoopState(
         tokens=tokens,
-        t=initial_len,
+        t=t0,
+        step=jnp.int32(0),
         cache=cache,
         cur_logits=first_logits,
         sum_logprobs=jnp.zeros((B,), jnp.float32),
@@ -434,16 +486,13 @@ def decode_engine(
     )
 
     def cond(s: _LoopState):
-        return (
-            (~s.completed)
-            & (s.t - initial_len < sample_len)
-            & (s.t <= n_ctx)
-        )
+        # the update functions fold per-row buffer exhaustion into `completed`
+        return (~s.completed) & (s.step < sample_len)
 
     def body(s: _LoopState):
         filtered = apply_logit_filters(spec, s.cur_logits, s.tokens, s.t, filter_args)
         if spec.beam_size > 0:
-            s = _beam_update(spec, s, filtered, initial_len)
+            s = _beam_update(spec, s, filtered)
         else:
             s = _greedy_update(spec, s, filtered, temperature)
 
@@ -451,7 +500,9 @@ def decode_engine(
         # make XLA copy the whole KV cache for the skip branch every
         # iteration, which costs far more than the single wasted step after
         # the final token
-        prev_tok = jax.lax.dynamic_slice(s.tokens, (0, s.t - 1), (B, 1))[:, 0]
+        prev_tok = jnp.take_along_axis(
+            s.tokens, jnp.clip(s.t - 1, 0, n_ctx)[:, None], axis=1
+        )[:, 0]
         h, cache = decoder_step(params, dims, prev_tok, s.t - 1, s.cache)
         return s._replace(cur_logits=project_logits(params, h), cache=cache)
 

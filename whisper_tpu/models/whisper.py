@@ -258,28 +258,37 @@ def decoder_step(
     params: Params,
     dims: ModelDimensions,
     tokens: jax.Array,  # (B,) int32 — the tokens at position t
-    t: jax.Array,  # scalar int32 current position
+    t: jax.Array,  # scalar int32, or (B,) int32 per-row positions
     cache: KVCache,
 ) -> Tuple[jax.Array, KVCache]:
     """One autoregressive decode step at position t.
 
     Writes this step's K/V into the cache at position t and attends over
     positions 0..t.  Returns hidden state (B, C) after the final LayerNorm
-    and the updated cache.
+    and the updated cache.  ``t`` may be a per-row vector (rows of a batch at
+    different sequence offsets, e.g. different prompt lengths per file);
+    rows whose position exceeds n_ctx-1 compute garbage that is never
+    persisted (the scatter drops out-of-bounds writes).
     """
     dec = params["decoder"]
     n_head = dims.n_text_head
     B = tokens.shape[0]
     n_ctx = dims.n_text_ctx
+    t_vec = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
 
-    x = _embed_tokens(dec, tokens[:, None], t, 1)  # (B, 1, C)
+    dtype = dec["tok_emb"].dtype
+    tok_emb = dec["tok_emb"][tokens]  # (B, C)
+    pos_emb = dec["pos_emb"][jnp.clip(t_vec, 0, n_ctx - 1)]  # (B, C)
+    x = (tok_emb + pos_emb).astype(dtype)[:, None, :]  # (B, 1, C)
 
     # self-attention reads the cache as-is (positions < t) and folds the new
     # token's K/V in as one extra score term — inserting k_new into the cache
     # inside the layer scan would force XLA to copy the whole layer cache
     # every step, which costs more than the entire model math
     pos_mask = jnp.where(
-        jnp.arange(n_ctx)[None, None, None, :] < t, 0.0, NEG_INF
+        jnp.arange(n_ctx)[None, None, None, :] < t_vec[:, None, None, None],
+        0.0,
+        NEG_INF,
     ).astype(jnp.float32)
 
     def scan_body(carry, layer):
@@ -328,12 +337,17 @@ def decoder_step(
     x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
 
-    # persist the new K/V at position t: k_new is (L, B, H, 1, D)
-    new_self_k = jax.lax.dynamic_update_slice(
-        cache.self_k, k_new.astype(cache.self_k.dtype), (0, 0, 0, t, 0)
+    # persist the new K/V at each row's position: k_new is (L, B, H, 1, D);
+    # advanced indexing puts the row axis first, so reshape values to
+    # (B, L, H, D); out-of-range positions (capped rows) are dropped
+    b_idx = jnp.arange(B)
+    k_val = k_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
+    v_val = v_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
+    new_self_k = cache.self_k.at[:, b_idx, :, t_vec, :].set(
+        k_val.astype(cache.self_k.dtype), mode="drop"
     )
-    new_self_v = jax.lax.dynamic_update_slice(
-        cache.self_v, v_new.astype(cache.self_v.dtype), (0, 0, 0, t, 0)
+    new_self_v = cache.self_v.at[:, b_idx, :, t_vec, :].set(
+        v_val.astype(cache.self_v.dtype), mode="drop"
     )
     return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
 
