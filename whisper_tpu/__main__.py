@@ -1,3 +1,6 @@
+"""Entry point for ``python -m whisper_tpu``."""
+
 from .transcribe import cli
 
-cli()
+if __name__ == "__main__":
+    cli()

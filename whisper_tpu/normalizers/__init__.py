@@ -1,3 +1,5 @@
+"""Text normalizers for WER evaluation (basic + English)."""
+
 from .basic import BasicTextNormalizer
 from .english import EnglishTextNormalizer
 
