@@ -51,13 +51,29 @@ def test_batch_rejects_unsupported(model):
     with pytest.raises(NotImplementedError):
         transcribe_batch(
             model, [np.zeros(16000, np.float32)],
-            initial_prompt="context", language="en",
+            carry_initial_prompt=True, language="en",
         )
     with pytest.raises(NotImplementedError):
         transcribe_batch(
             model, [np.zeros(16000, np.float32)],
             clip_timestamps="2,8", language="en",
         )
+
+
+def test_batch_initial_prompt_matches_sequential(model):
+    audio = whisper_tpu.load_audio(JFK)
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        initial_prompt="JFK inaugural address",
+    )
+    batch = transcribe_batch(model, [audio, audio[: 16000 * 5]], batch_size=2, **kw)
+    for audio_i, batched in zip([audio, audio[: 16000 * 5]], batch):
+        single = model.transcribe(audio_i, verbose=None, **kw)
+        assert batched["text"] == single["text"]
+        assert [s["tokens"] for s in batched["segments"]] == [
+            s["tokens"] for s in single["segments"]
+        ]
 
 
 def test_batch_with_prompt_conditioning_matches_sequential(model):

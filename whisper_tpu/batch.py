@@ -16,8 +16,8 @@ with ``transcribe`` (see transcribe.segment_window).
 Word timestamps are supported: the alignment forward passes of all files in a
 round run as one batched device program (timing.find_alignment_batch).
 
-Not supported here (use ``transcribe`` per file): initial_prompt,
-clip_timestamps, hallucination seek-restart across rounds.
+Not supported here (use ``transcribe`` per file): carry_initial_prompt,
+clip_timestamps.
 """
 
 from typing import List, Optional, Sequence, Tuple, Union
@@ -55,6 +55,7 @@ class _FileState:
         self.language: Optional[str] = None
         self.last_speech_timestamp = 0.0
         self.prompt_reset_since = 0
+        self.initial_prompt_len = 0
 
     @property
     def done(self) -> bool:
@@ -76,6 +77,7 @@ def transcribe_batch(
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
     condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
     word_timestamps: bool = False,
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
@@ -84,7 +86,7 @@ def transcribe_batch(
 ) -> List[dict]:
     """Transcribe many files concurrently; returns one result dict per file."""
     for unsupported in (
-        "initial_prompt",
+        "carry_initial_prompt",
         "clip_timestamps",
         "prompt",
     ):
@@ -136,6 +138,12 @@ def transcribe_batch(
             language=lang,
             task=decode_options.get("task", "transcribe"),
         )
+        if initial_prompt is not None:
+            prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+            for idx in indices:
+                states[idx].tokens = list(prompt_tokens)
+                states[idx].initial_prompt_len = len(prompt_tokens)
+
         tasks = {}  # temperature -> DecodingTask (compiled engine variants)
 
         def get_task(t: float) -> DecodingTask:
@@ -331,7 +339,7 @@ def transcribe_batch(
                 num_languages=model.num_languages,
                 language=st.language,
                 task=decode_options.get("task", "transcribe"),
-            ).decode(st.tokens),
+            ).decode(st.tokens[st.initial_prompt_len :]),
             segments=st.segments,
             language=st.language,
         )
