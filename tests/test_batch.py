@@ -47,17 +47,41 @@ def test_batch_matches_sequential(model):
         assert batched["language"] == single["language"]
 
 
-def test_batch_rejects_unsupported(model):
+def test_batch_rejects_fixed_prompt(model):
     with pytest.raises(NotImplementedError):
         transcribe_batch(
             model, [np.zeros(16000, np.float32)],
-            carry_initial_prompt=True, language="en",
+            prompt="fixed", language="en",
         )
-    with pytest.raises(NotImplementedError):
-        transcribe_batch(
-            model, [np.zeros(16000, np.float32)],
-            clip_timestamps="2,8", language="en",
-        )
+
+
+def test_batch_clip_timestamps_matches_sequential(model):
+    audio = whisper_tpu.load_audio(JFK)
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        clip_timestamps="2,8",
+    )
+    batch = transcribe_batch(model, [audio, audio], batch_size=2, **kw)
+    single = model.transcribe(audio, verbose=None, **kw)
+    for batched in batch:
+        assert batched["text"] == single["text"]
+        assert [s["seek"] for s in batched["segments"]] == [
+            s["seek"] for s in single["segments"]
+        ]
+
+
+def test_batch_carry_initial_prompt_matches_sequential(model):
+    audio = whisper_tpu.load_audio(JFK)
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        initial_prompt="JFK speech", carry_initial_prompt=True,
+    )
+    batch = transcribe_batch(model, [audio, audio[: 16000 * 6]], batch_size=2, **kw)
+    for audio_i, batched in zip([audio, audio[: 16000 * 6]], batch):
+        single = model.transcribe(audio_i, verbose=None, **kw)
+        assert batched["text"] == single["text"]
 
 
 def test_batch_initial_prompt_matches_sequential(model):

@@ -16,8 +16,10 @@ with ``transcribe`` (see transcribe.segment_window).
 Word timestamps are supported: the alignment forward passes of all files in a
 round run as one batched device program (timing.find_alignment_batch).
 
-Not supported here (use ``transcribe`` per file): carry_initial_prompt,
-clip_timestamps.
+Every ``transcribe`` option is supported (initial_prompt,
+carry_initial_prompt, clip_timestamps, word_timestamps, the fallback
+thresholds); only a decode-level fixed ``prompt`` is rejected since prompts
+are managed per file here.
 """
 
 from typing import List, Optional, Sequence, Tuple, Union
@@ -46,10 +48,9 @@ from .utils import exact_div, get_end
 
 
 class _FileState:
-    def __init__(self, mel: np.ndarray):
+    def __init__(self, mel: np.ndarray, clip_timestamps: Union[str, List[float]] = "0"):
         self.mel = mel
         self.content_frames = mel.shape[-1] - N_FRAMES
-        self.seek = 0
         self.segments: List[dict] = []
         self.tokens: List[int] = []
         self.language: Optional[str] = None
@@ -57,12 +58,41 @@ class _FileState:
         self.prompt_reset_since = 0
         self.initial_prompt_len = 0
 
+        # clip windows, as in transcribe (reference transcribe.py:168-177)
+        if isinstance(clip_timestamps, str):
+            clip_timestamps = [
+                float(ts)
+                for ts in (clip_timestamps.split(",") if clip_timestamps else [])
+            ]
+        seek_points = [round(ts * FRAMES_PER_SECOND) for ts in clip_timestamps]
+        if len(seek_points) == 0:
+            seek_points.append(0)
+        if len(seek_points) % 2 == 1:
+            seek_points.append(self.content_frames)
+        self.seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+        self.clip_idx = 0
+        self.seek = self.seek_clips[0][0]
+
     @property
     def done(self) -> bool:
-        return self.seek >= self.content_frames
+        """Advance across clip boundaries; True when no window remains."""
+        while self.clip_idx < len(self.seek_clips):
+            clip_start, clip_end = self.seek_clips[self.clip_idx]
+            if self.seek < clip_start:
+                self.seek = clip_start
+            if self.seek >= min(clip_end, self.content_frames):
+                self.clip_idx += 1
+                if self.clip_idx < len(self.seek_clips):
+                    self.seek = self.seek_clips[self.clip_idx][0]
+                continue
+            return False
+        return True
 
     def window(self) -> Tuple[np.ndarray, int]:
-        segment_size = min(N_FRAMES, self.content_frames - self.seek)
+        clip_end = self.seek_clips[self.clip_idx][1]
+        segment_size = min(
+            N_FRAMES, self.content_frames - self.seek, clip_end - self.seek
+        )
         mel_segment = self.mel[:, self.seek : self.seek + segment_size]
         return pad_or_trim(mel_segment, N_FRAMES), segment_size
 
@@ -78,23 +108,20 @@ def transcribe_batch(
     no_speech_threshold: Optional[float] = 0.6,
     condition_on_previous_text: bool = True,
     initial_prompt: Optional[str] = None,
+    carry_initial_prompt: bool = False,
     word_timestamps: bool = False,
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    clip_timestamps: Union[str, List[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
     **decode_options,
 ) -> List[dict]:
     """Transcribe many files concurrently; returns one result dict per file."""
-    for unsupported in (
-        "carry_initial_prompt",
-        "clip_timestamps",
-        "prompt",
-    ):
-        if decode_options.pop(unsupported, None):
-            raise NotImplementedError(
-                f"transcribe_batch does not support {unsupported}; "
-                "use transcribe() per file"
-            )
+    if decode_options.pop("prompt", None):
+        raise NotImplementedError(
+            "transcribe_batch manages prompts per file; use transcribe() for a "
+            "fixed decode-level prompt"
+        )
 
     temperatures = (
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
@@ -102,7 +129,10 @@ def transcribe_batch(
 
     states = [
         _FileState(
-            np.asarray(log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES))
+            np.asarray(
+                log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+            ),
+            clip_timestamps=clip_timestamps,
         )
         for audio in audios
     ]
@@ -138,11 +168,21 @@ def transcribe_batch(
             language=lang,
             task=decode_options.get("task", "transcribe"),
         )
+        remaining_prompt_length = model.dims.n_text_ctx // 2 - 1
         if initial_prompt is not None:
             prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+            remaining_prompt_length -= len(prompt_tokens)
             for idx in indices:
                 states[idx].tokens = list(prompt_tokens)
                 states[idx].initial_prompt_len = len(prompt_tokens)
+
+        def prompt_for(st: _FileState) -> List[int]:
+            """Per-window prompt; parity with transcribe.py's assembly."""
+            if carry_initial_prompt:
+                nignored = max(st.initial_prompt_len, st.prompt_reset_since)
+                remaining = st.tokens[nignored:][-remaining_prompt_length:]
+                return st.tokens[: st.initial_prompt_len] + remaining
+            return st.tokens[st.prompt_reset_since :]
 
         tasks = {}  # temperature -> DecodingTask (compiled engine variants)
 
@@ -172,12 +212,7 @@ def transcribe_batch(
 
             # per-file prompt: everything accepted since the last reset
             # (transcribe's condition_on_previous_text semantics)
-            prompts = [
-                states[i].tokens[states[i].prompt_reset_since :]
-                if condition_on_previous_text
-                else []
-                for i in rows
-            ]
+            prompts = [prompt_for(states[i]) for i in rows]
             prompts += [[]] * (batch_size - len(rows))
 
             # temperature-fallback ladder over the whole batch; rows that have
