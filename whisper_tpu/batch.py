@@ -148,7 +148,14 @@ def transcribe_batch(
     else:
         from .decoding import detect_language
 
-        first = np.stack([st.window()[0] for st in states])
+        first = np.stack(
+            [
+                st.window()[0]
+                if not st.done
+                else np.zeros((model.dims.n_mels, N_FRAMES), np.float32)
+                for st in states
+            ]
+        )
         _, probs = detect_language(model, jnp.asarray(first))
         for st, p in zip(states, probs):
             st.language = max(p, key=p.get)
@@ -222,7 +229,7 @@ def transcribe_batch(
                 batch_results = get_task(t).run_with_prompts(
                     jnp.asarray(mels), prompts
                 )
-                pending = False
+                any_pending = False
                 for j in range(len(rows)):
                     if results[j] is not None:
                         continue
@@ -235,8 +242,8 @@ def transcribe_batch(
                     ) or t == temperatures[-1]:
                         results[j] = r
                     else:
-                        pending = True
-                if not pending:
+                        any_pending = True
+                if not any_pending:
                     break
 
             # phase 1: per-file segmentation and seek advance
