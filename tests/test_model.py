@@ -38,8 +38,8 @@ def test_incremental_matches_full_forward():
     P = 4
     hid, pk, pv = decoder_prefill(params, DIMS, tokens[:, :P], xk, xv)
     cache = cache._replace(
-        self_k=cache.self_k.at[:, :, :, :P, :].set(pk),
-        self_v=cache.self_v.at[:, :, :, :P, :].set(pv),
+        self_k=cache.self_k.at[:, :, :, :, :P].set(pk.swapaxes(-1, -2)),
+        self_v=cache.self_v.at[:, :, :, :, :P].set(pv.swapaxes(-1, -2)),
     )
     lg = project_logits(params, hid)
     np.testing.assert_allclose(

@@ -460,9 +460,10 @@ def decode_engine(
         )
     )
     cache = init_kv_cache(dims, B, tile(xk, 1), tile(xv, 1), compute_dtype)
+    # prefill K/V arrive (L, B, H, P, D); the cache stores time-last
     cache = cache._replace(
-        self_k=cache.self_k.at[:, :, :, :P, :].set(tile(pk, 1)),
-        self_v=cache.self_v.at[:, :, :, :P, :].set(tile(pv, 1)),
+        self_k=cache.self_k.at[:, :, :, :, :P].set(tile(pk, 1).swapaxes(-1, -2)),
+        self_v=cache.self_v.at[:, :, :, :, :P].set(tile(pv, 1).swapaxes(-1, -2)),
     )
 
     tokens = jnp.zeros((B, n_ctx + 1), jnp.int32)

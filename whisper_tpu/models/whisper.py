@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import encoder_attention, merge_heads, qkv_attention, split_heads
+from ..ops.attention import (
+    encoder_attention,
+    merge_heads,
+    qkv_attention,
+    qkv_attention_kt,
+    split_heads,
+)
 from .dims import ModelDimensions
 
 Params = Dict[str, Any]
@@ -83,10 +89,13 @@ def _gelu(x: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Preallocated decoder cache, stored in attention layout.
+    """Preallocated decoder cache, stored time-last.
 
-    self_k/self_v: (L, B, H, n_text_ctx, D) — autoregressive self-attention.
-    cross_k/cross_v: (L, B, H, n_audio_ctx, D) — computed once per segment.
+    self_k/self_v: (L, B, H, D, n_text_ctx) — autoregressive self-attention.
+    cross_k/cross_v: (L, B, H, D, n_audio_ctx) — computed once per segment.
+
+    Time-last keeps the 128-lane axis dense (head_dim is 64, so a (..., T, D)
+    layout would pad every row 64→128: 2x HBM and 2x read bandwidth).
     """
 
     self_k: jax.Array
@@ -156,10 +165,11 @@ def encoder_apply(params: Params, dims: ModelDimensions, mel: jax.Array) -> jax.
 def compute_cross_kv(
     params: Params, dims: ModelDimensions, audio_features: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
-    """Per-layer cross-attention K/V from encoder output: (L, B, Ta, H, D).
+    """Per-layer cross-attention K/V from encoder output: (L, B, H, D, Ta).
 
     Computed once per segment and reused across all decode steps (replacing
     the reference's first-call hook caching, model.py:101-109,327-333).
+    Stored time-last (see KVCache).
     """
     dec = params["decoder"]
     h = dims.n_text_head
@@ -167,7 +177,7 @@ def compute_cross_kv(
     def scan_body(_, p):
         k = split_heads(_linear(audio_features, p["xk_w"]), h)
         v = split_heads(_linear(audio_features, p["xv_w"], p["xv_b"]), h)
-        return None, (k, v)
+        return None, (k.swapaxes(-1, -2), v.swapaxes(-1, -2))
 
     _, (xk, xv) = jax.lax.scan(scan_body, None, dec["blocks"])
     return xk, xv
@@ -179,8 +189,8 @@ def _decoder_block(
     n_head: int,
     self_k: jax.Array,
     self_v: jax.Array,
-    cross_k: jax.Array,
-    cross_v: jax.Array,
+    cross_k_t: jax.Array,  # (B, H, D, Ta) — time-last, see KVCache
+    cross_v_t: jax.Array,
     self_mask: Optional[jax.Array],
     *,
     return_cross_qk: bool = False,
@@ -197,9 +207,14 @@ def _decoder_block(
 
     h = layer_norm(x, p["xattn_ln_g"], p["xattn_ln_b"])
     xq = split_heads(_linear(h, p["xq_w"], p["xq_b"]), n_head)
-    xattn, cross_qk = qkv_attention(
-        xq, cross_k, cross_v, return_qk=return_cross_qk
-    )
+    if return_cross_qk:
+        xattn, cross_qk = qkv_attention(
+            xq, cross_k_t.swapaxes(-1, -2), cross_v_t.swapaxes(-1, -2),
+            return_qk=True,
+        )
+    else:
+        xattn = qkv_attention_kt(xq, cross_k_t, cross_v_t)
+        cross_qk = None
     x = x + _linear(merge_heads(xattn), p["xo_w"], p["xo_b"])
 
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
@@ -292,7 +307,7 @@ def decoder_step(
     ).astype(jnp.float32)
 
     def scan_body(carry, layer):
-        p, cache_k_l, cache_v_l, xk_l, xv_l = layer
+        p, cache_k_l, cache_v_l, xk_l, xv_l = layer  # caches (B, H, D, T)
         h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
         q = split_heads(_linear(h, p["q_w"], p["q_b"]), n_head)  # (B, H, 1, D)
         k_new = split_heads(_linear(h, p["k_w"]), n_head)
@@ -301,7 +316,7 @@ def decoder_step(
         d = q.shape[-1]
         scale = d**-0.25
         s_old = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, cache_k_l * scale,
+            "bhqd,bhdk->bhqk", q * scale, cache_k_l * scale,
             preferred_element_type=jnp.float32,
         ) + pos_mask
         s_new = jnp.einsum(
@@ -311,7 +326,7 @@ def decoder_step(
         s = jnp.concatenate([s_old, s_new], axis=-1).astype(jnp.float32)
         w = jax.nn.softmax(s, axis=-1).astype(q.dtype)
         attn = jnp.einsum(
-            "bhqk,bhkd->bhqd", w[..., :n_ctx], cache_v_l,
+            "bhqk,bhdk->bhqd", w[..., :n_ctx], cache_v_l,
             preferred_element_type=jnp.float32,
         ) + w[..., n_ctx:] * v_new.astype(jnp.float32)
         attn = attn.astype(q.dtype)
@@ -320,7 +335,7 @@ def decoder_step(
         # cross-attention + MLP
         hx = layer_norm(h2, p["xattn_ln_g"], p["xattn_ln_b"])
         xq = split_heads(_linear(hx, p["xq_w"], p["xq_b"]), n_head)
-        xattn, _ = qkv_attention(xq, xk_l, xv_l)
+        xattn = qkv_attention_kt(xq, xk_l, xv_l)
         h2 = h2 + _linear(merge_heads(xattn), p["xo_w"], p["xo_b"])
         hm = layer_norm(h2, p["mlp_ln_g"], p["mlp_ln_b"])
         hm = _gelu(_linear(hm, p["fc1_w"], p["fc1_b"]))
@@ -337,16 +352,16 @@ def decoder_step(
     x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
 
-    # persist the new K/V at each row's position: k_new is (L, B, H, 1, D);
-    # advanced indexing puts the row axis first, so reshape values to
-    # (B, L, H, D); out-of-range positions (capped rows) are dropped
+    # persist the new K/V at each row's position (cache is (L, B, H, D, T)):
+    # k_new is (L, B, H, 1, D); advanced indexing puts the row axis first, so
+    # values are (B, L, H, D); out-of-range positions (capped rows) drop
     b_idx = jnp.arange(B)
     k_val = k_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
     v_val = v_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
-    new_self_k = cache.self_k.at[:, b_idx, :, t_vec, :].set(
+    new_self_k = cache.self_k.at[:, b_idx, :, :, t_vec].set(
         k_val.astype(cache.self_k.dtype), mode="drop"
     )
-    new_self_v = cache.self_v.at[:, b_idx, :, t_vec, :].set(
+    new_self_v = cache.self_v.at[:, b_idx, :, :, t_vec].set(
         v_val.astype(cache.self_v.dtype), mode="drop"
     )
     return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
@@ -427,11 +442,11 @@ def init_kv_cache(
     dtype,
 ) -> KVCache:
     h, d = dims.n_text_head, dims.n_text_state // dims.n_text_head
-    shape = (dims.n_text_layer, batch, h, dims.n_text_ctx, d)
+    shape = (dims.n_text_layer, batch, h, d, dims.n_text_ctx)
     return KVCache(
         self_k=jnp.zeros(shape, dtype=dtype),
         self_v=jnp.zeros(shape, dtype=dtype),
-        # store cross K/V in attention layout (L, B, H, Ta, D)
+        # cross K/V arrive time-last from compute_cross_kv: (L, B, H, D, Ta)
         cross_k=cross_k,
         cross_v=cross_v,
     )

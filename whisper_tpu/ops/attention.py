@@ -60,6 +60,34 @@ def qkv_attention(
     return out, (qk if return_qk else None)
 
 
+def qkv_attention_kt(
+    q: jax.Array,  # (B, H, Tq, D)
+    k_t: jax.Array,  # (B, H, D, Tk) — keys stored time-last
+    v_t: jax.Array,  # (B, H, D, Tk) — values stored time-last
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Attention over K/V stored in (B, H, D, T) layout.
+
+    Whisper's head_dim is 64, half the TPU lane width: a (..., T, 64) cache
+    pads every row 64→128 (2x memory and bandwidth).  Storing caches
+    time-last keeps the 128-lane axis dense; the contractions are identical
+    (same reduction dims), so numerics match qkv_attention exactly.
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.25
+    qk = jnp.einsum(
+        "bhqd,bhdk->bhqk",
+        q * scale,
+        k_t * scale,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        qk = qk + mask
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(v_t.dtype)
+    out = jnp.einsum("bhqk,bhdk->bhqd", w, v_t, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Self-attention for the encoder's fixed 1500-token context.
 

@@ -47,8 +47,11 @@ def decoder_apply_train(params, dims: ModelDimensions, tokens, audio_features):
         h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
         k = split_heads(_linear(h, p["k_w"]), n_head)
         v = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
-        xk = split_heads(_linear(audio_features, p["xk_w"]), n_head)
-        xv = split_heads(_linear(audio_features, p["xv_w"], p["xv_b"]), n_head)
+        # cross K/V in time-last layout, as _decoder_block expects
+        xk = split_heads(_linear(audio_features, p["xk_w"]), n_head).swapaxes(-1, -2)
+        xv = split_heads(
+            _linear(audio_features, p["xv_w"], p["xv_b"]), n_head
+        ).swapaxes(-1, -2)
         out, _ = _decoder_block(carry, p, n_head, k, v, xk, xv, causal)
         return out, None
 
