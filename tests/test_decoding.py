@@ -240,3 +240,20 @@ def test_run_with_prompts_beam(models, jfk_mel):
             ),
         )
         assert batch_results[i].tokens == single.tokens, f"row {i}"
+
+
+@pytest.mark.parametrize("cfg", [dict(sample_len=230), dict(beam_size=3, sample_len=230)])
+def test_buffer_cap_with_long_prompt(models, jfk_mel, cfg):
+    """A near-max prompt drives the token buffer to n_ctx: the per-row cap
+    must reproduce the reference's loop-stop semantics exactly."""
+    import torch
+
+    ref_whisper, ref_model, model = models
+    long_prompt = list(np.random.RandomState(0).randint(300, 20000, 300))
+    base = dict(language="en", fp16=False, temperature=0.0, prompt=long_prompt)
+    ref_res = ref_whisper.decode(
+        ref_model, torch.from_numpy(jfk_mel.copy()),
+        ref_whisper.DecodingOptions(**base, **cfg),
+    )
+    res = model.decode(jfk_mel, whisper_tpu.DecodingOptions(**base, **cfg))
+    assert res.tokens == ref_res.tokens
