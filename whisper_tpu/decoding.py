@@ -12,7 +12,7 @@ finalize/tie-break semantics of reference decoding.py:384-404,190-213).
 """
 
 from dataclasses import dataclass, field, replace
-from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Sequence, Union
+from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -25,11 +25,10 @@ sample distribution matches but the RNG differs (JAX threefry vs torch).
 
 from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .models.dims import ModelDimensions
 from .models.whisper import (

@@ -8,7 +8,7 @@ are cached as ``.npz`` next to the source file so torch is only needed once.
 """
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -148,7 +148,6 @@ def load_npz(path: str, dtype=jnp.float32) -> Tuple[Params, ModelDimensions]:
             else:
                 flat[key] = f[key]
     dims = ModelDimensions(**dims_kw)
-    params = jnp.asarray  # placeholder for tree map below
     import jax
 
     tree = _unflatten(flat)

@@ -22,7 +22,6 @@ not a port:
 
 import base64
 import gzip
-from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

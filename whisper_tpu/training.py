@@ -24,7 +24,6 @@ from .models.whisper import (
     NEG_INF,
     _decoder_block,
     _embed_tokens,
-    _gelu,
     _linear,
     encoder_apply,
     layer_norm,
