@@ -257,3 +257,19 @@ def test_buffer_cap_with_long_prompt(models, jfk_mel, cfg):
     )
     res = model.decode(jfk_mel, whisper_tpu.DecodingOptions(**base, **cfg))
     assert res.tokens == ref_res.tokens
+
+
+def test_language_detection_inside_decode_with_beam(models, jfk_mel):
+    """language=None triggers per-window detection feeding beam decode;
+    must match the reference end-to-end."""
+    import torch
+
+    ref_whisper, ref_model, model = models
+    base = dict(fp16=False, temperature=0.0, beam_size=3, sample_len=24)
+    ref_res = ref_whisper.decode(
+        ref_model, torch.from_numpy(jfk_mel.copy()),
+        ref_whisper.DecodingOptions(**base),
+    )
+    res = model.decode(jfk_mel, whisper_tpu.DecodingOptions(**base))
+    assert res.language == ref_res.language
+    assert res.tokens == ref_res.tokens
