@@ -7,8 +7,9 @@ not a port:
 - parameters are a pytree of arrays with per-layer weights **stacked** along a
   leading layer axis, applied with ``lax.scan`` (fast compiles for 32-layer
   models, natural sharding axes for tensor parallelism);
-- the KV cache is a preallocated ``(layers, batch, n_text_ctx, heads, head_dim)``
-  array updated with ``dynamic_update_slice`` — replacing the reference's
+- the KV cache is a preallocated ``(layers, batch, heads, head_dim, time)``
+  array (time-last: head_dim is 64, half a TPU lane tile, so any time-major
+  layout pads 2x) updated with per-row scatters — replacing the reference's
   forward-hook dict cache (model.py:310-341);
 - LayerNorm computes in float32 regardless of activation dtype (parity with
   the fp16-aware subclasses at model.py:39-41), attention scores accumulate in
