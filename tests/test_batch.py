@@ -144,6 +144,40 @@ def test_batch_word_timestamps_match_sequential(model):
             assert a["end"] == b["end"]
 
 
+def test_batch_hallucination_threshold_matches_sequential(model):
+    """Equivalence with the hallucination-silence heuristics active: the
+    restart path must skip commits and prompt resets exactly like
+    transcribe()'s `continue` (reference transcribe.py:489-505)."""
+    audio = whisper_tpu.load_audio(JFK)
+    rng = np.random.RandomState(3)
+    # speech then long low-level noise: gives the heuristics silence to skip
+    quiet = (rng.randn(16000 * 8) * 0.002).astype(np.float32)
+    mixed = np.concatenate([audio[: 16000 * 5], quiet, audio[: 16000 * 3]])
+    audios = [mixed, audio]
+
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None,
+        word_timestamps=True,
+        hallucination_silence_threshold=2.0,
+    )
+    batch = transcribe_batch(model, audios, batch_size=2,
+                             condition_on_previous_text=True, **kw)
+    for audio_i, batched in zip(audios, batch):
+        single = model.transcribe(
+            audio_i, condition_on_previous_text=True, verbose=None, **kw
+        )
+        assert batched["text"] == single["text"]
+        assert len(batched["segments"]) == len(single["segments"])
+        for bs, ss in zip(batched["segments"], single["segments"]):
+            assert bs["tokens"] == ss["tokens"]
+            assert bs["seek"] == ss["seek"]
+            bw = [w["word"] for w in bs.get("words", [])]
+            sw = [w["word"] for w in ss.get("words", [])]
+            assert bw == sw
+
+
 def test_batch_alignment_heterogeneous_lengths(model):
     """find_alignment_batch == per-segment find_alignment, mixed lengths."""
     import numpy as np

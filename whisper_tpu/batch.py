@@ -312,8 +312,13 @@ def transcribe_batch(
                     np.stack([windows[pending[k]["row"]][0] for k in aligned_rows]),
                     [pending[k]["segment_size"] for k in aligned_rows],
                 ) if aligned_rows else []
+                # rows with no text tokens still run add_word_timestamps (with
+                # an empty alignment) and the seek refinement, exactly as
+                # transcribe() does — refinement can rewind seek even then
+                per_row = {k: a for k, a in zip(aligned_rows, alignments)}
 
-                for k, alignment in zip(aligned_rows, alignments):
+                for k in range(len(pending)):
+                    alignment = per_row.get(k, [])
                     p = pending[k]
                     st = p["state"]
                     add_word_timestamps(
@@ -347,7 +352,12 @@ def transcribe_batch(
                         threshold=hallucination_silence_threshold,
                     )
                     if restart:
+                        # transcribe()'s `continue`: nothing from this window
+                        # commits — no segments, no tokens, no prompt reset —
+                        # and the window re-decodes from the refined seek
+                        # (here: on the next round, with identical state)
                         p["segments"].clear()
+                        p["restart"] = True
                         continue
                     last_word_end = get_end(p["segments"])
                     if last_word_end is not None:
@@ -355,6 +365,8 @@ def transcribe_batch(
 
             # phase 3: commit segments and tokens per file
             for p in pending:
+                if p.get("restart"):
+                    continue
                 st = p["state"]
                 for segment in p["segments"]:
                     if segment["start"] == segment["end"] or not segment["text"].strip():

@@ -151,7 +151,18 @@ def load_npz(path: str, dtype=jnp.float32) -> Tuple[Params, ModelDimensions]:
     import jax
 
     tree = _unflatten(flat)
-    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), tree)
+    from ..quantize import is_quantized
+
+    # int8-quantized {"q","s"} leaves (quantize.py) keep their storage dtypes
+    # on reload (int8 payload, f32 scales); everything else casts to `dtype`
+    def cast(node):
+        if is_quantized(node):
+            return {k: jnp.asarray(v) for k, v in node.items()}
+        if isinstance(node, dict):
+            return {k: cast(v) for k, v in node.items()}
+        return jnp.asarray(node, dtype=dtype)
+
+    params = cast(tree)
     return params, dims
 
 
@@ -174,7 +185,16 @@ def load_orbax(path: str, dtype=jnp.float32) -> Tuple[Params, ModelDimensions]:
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(path))
     dims = ModelDimensions(**{k: int(v) for k, v in restored["dims"].items()})
-    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), restored["params"])
+    from ..quantize import is_quantized
+
+    def cast(node):
+        if is_quantized(node):
+            return {k: jnp.asarray(v) for k, v in node.items()}
+        if isinstance(node, dict):
+            return {k: cast(v) for k, v in node.items()}
+        return jnp.asarray(node, dtype=dtype)
+
+    params = cast(restored["params"])
     return params, dims
 
 

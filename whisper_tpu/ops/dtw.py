@@ -52,7 +52,10 @@ def _dtw_trace_device(x: jax.Array, n: int, m: int) -> jax.Array:
             0,
             jnp.where((c1 < c0) & (c1 < c2), 1, 2),
         ).astype(jnp.int8)
-        c = jnp.minimum(jnp.minimum(c0, c1), c2)
+        # propagate the cost of the *chosen* branch, not min(c0,c1,c2): the
+        # reference's else-branch takes c2 even when c0==c1<c2
+        # (timing.py:95-100), and downstream costs must see that same value
+        c = jnp.where(t == 0, c0, jnp.where(t == 1, c1, c2))
 
         flat = jnp.clip((i_idx - 1) * m + (j - 1), 0, n * m - 1)
         xval = x_flat[flat]

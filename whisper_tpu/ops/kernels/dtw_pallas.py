@@ -63,7 +63,9 @@ def _dtw_kernel(xs_ref, trace_ref, prev2_ref, prev_ref, *, n: int, m: int):
             0,
             jnp.where((c1 < c0) & (c1 < c2), 1, 2),
         ).astype(jnp.int32)
-        c = jnp.minimum(jnp.minimum(c0, c1), c2)
+        # propagate the chosen branch's cost (reference timing.py:95-100
+        # takes c2 in the else branch even when c0==c1<c2)
+        c = jnp.where(t == 0, c0, jnp.where(t == 1, c1, c2))
         new = jnp.where(valid, xs_ref[0, pl.ds(d, 1), :] + c, BIG)
 
         prev2_ref[...] = prev
