@@ -9,6 +9,7 @@ from whisper_tpu.models.whisper import Whisper, init_params
 from whisper_tpu.quantize import (
     dequantize_weight,
     is_quantized,
+    quantize_kv,
     quantize_params,
     quantize_weight,
 )
@@ -40,6 +41,79 @@ def test_quantize_params_structure():
     assert not is_quantized(qparams["decoder"]["tok_emb"])
     assert not is_quantized(qparams["encoder"]["conv1_w"])
     assert not is_quantized(qparams["decoder"]["blocks"]["attn_ln_g"])
+
+
+def test_cross_step_attention_int8_close():
+    """int8 cross-KV attention tracks the full-precision path per-op."""
+    from whisper_tpu.models.whisper import _cross_step_attention
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    A, H, D, Ta, G = 2, 4, 64, 256, 3
+    xq = jax.random.normal(k1, (A * G, H, 1, D)) * 0.5
+    xk = jax.random.normal(k2, (A, H, D, Ta)) * 0.5
+    xv = jax.random.normal(k3, (A, H, D, Ta)) * 0.5
+
+    full = _cross_step_attention(xq, xk, xv, H, G)
+    q8 = _cross_step_attention(xq, quantize_kv(xk), quantize_kv(xv), H, G)
+    err = np.max(np.abs(np.asarray(full) - np.asarray(q8)))
+    ref = np.max(np.abs(np.asarray(full))) + 1e-9
+    assert err / ref < 0.05, f"relative error {err / ref:.4f}"
+
+
+def test_cross_step_attention_group_fold_exact():
+    """Group-folded cross attention == per-row attention on tiled K/V."""
+    from whisper_tpu.models.whisper import _cross_step_attention
+
+    rng = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    A, H, D, Ta, G = 2, 4, 64, 128, 5
+    xq = jax.random.normal(k1, (A * G, H, 1, D)) * 0.5
+    xk = jax.random.normal(k2, (A, H, D, Ta)) * 0.5
+    xv = jax.random.normal(k3, (A, H, D, Ta)) * 0.5
+
+    grouped = _cross_step_attention(xq, xk, xv, H, G)
+    tiled = _cross_step_attention(
+        xq, jnp.repeat(xk, G, axis=0), jnp.repeat(xv, G, axis=0), H, 1
+    )
+    np.testing.assert_allclose(
+        np.asarray(grouped), np.asarray(tiled), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_kv_int8_decode_runs_and_is_close():
+    params = init_params(DIMS, jax.random.PRNGKey(1))
+    model = Whisper(DIMS, params)
+
+    mel = (np.random.RandomState(0).randn(80, 3000) * 0.4).astype(np.float32)
+    r = model.decode(
+        mel, whisper_tpu.DecodingOptions(language="en", temperature=0.0, sample_len=16)
+    )
+    rq = model.decode(
+        mel,
+        whisper_tpu.DecodingOptions(
+            language="en", temperature=0.0, sample_len=16, kv_cache_dtype="int8"
+        ),
+    )
+    assert isinstance(rq.tokens, list) and len(rq.tokens) > 0
+    assert abs(r.avg_logprob - rq.avg_logprob) < 0.2
+
+
+def test_seed_makes_sampling_reproducible():
+    params = init_params(DIMS, jax.random.PRNGKey(2))
+    model = Whisper(DIMS, params)
+    mel = (np.random.RandomState(1).randn(80, 3000) * 0.4).astype(np.float32)
+
+    def run(seed):
+        return model.decode(
+            mel,
+            whisper_tpu.DecodingOptions(
+                language="en", temperature=0.7, sample_len=12, seed=seed
+            ),
+        ).tokens
+
+    assert run(7) == run(7)
+    assert run(7) != run(8)
 
 
 def test_quantized_decode_runs_and_is_close():

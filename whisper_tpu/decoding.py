@@ -113,6 +113,19 @@ class DecodingOptions:
     # time (bfloat16 on TPU replaces the reference's fp16, decoding.py:114)
     fp16: bool = True
 
+    # TPU addition (not in the reference): explicit RNG seed for
+    # temperature>0 sampling.  The reference inherits torch's global seed;
+    # here None falls back to numpy's global RNG (so ``np.random.seed`` works
+    # the same way), while an int makes a decode fully reproducible on its
+    # own.
+    seed: Optional[int] = None
+
+    # TPU addition: "int8" stores the cross-attention K/V cache quantized
+    # per (head, channel) for the token loop (the dominant HBM stream at
+    # batch).  Encoder, prefill, and logits stay full precision.  None keeps
+    # the compute dtype (bit-exact decoding).
+    kv_cache_dtype: Optional[str] = None
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -192,6 +205,7 @@ class DecodingTask:
             no_speech=tokenizer.no_speech if tokenizer.no_speech is not None else -1,
             no_timestamps=tokenizer.no_timestamps,
             timestamp_begin=tokenizer.timestamp_begin,
+            kv_int8=options.kv_cache_dtype == "int8",
         )
 
     # -- option/token assembly (parity with decoding.py:572-642) -----------
@@ -208,6 +222,8 @@ class DecodingTask:
             0 <= options.length_penalty <= 1
         ):
             raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        if options.kv_cache_dtype not in (None, "int8"):
+            raise ValueError("kv_cache_dtype must be None or 'int8'")
         return options
 
     def _get_initial_tokens(self):
@@ -266,6 +282,14 @@ class DecodingTask:
 
         return tuple(sorted(set(suppress_tokens)))
 
+    def _rng_key(self) -> "jax.Array":
+        """Sampling key: explicit DecodingOptions.seed, else numpy's global RNG
+        (the analog of the reference inheriting torch's global seed)."""
+        seed = self.options.seed
+        if seed is None:
+            seed = np.random.randint(0, 2**31 - 1)
+        return jax.random.PRNGKey(seed)
+
     # -- run ---------------------------------------------------------------
 
     def run(self, mel) -> List[DecodingResult]:
@@ -320,6 +344,12 @@ class DecodingTask:
                 for i in range(n_audio)
             ]
 
+        if audio_features is not None:
+            # reuse the features computed during language detection instead of
+            # re-encoding the mel (reference decoding.py:716-722 semantics)
+            mel = audio_features
+            features_given = True
+
         # pad initial tokens to the prefill bucket
         P = self.spec.prefill_len
         initial_padded = np.zeros((n_audio, P), np.int32)
@@ -341,7 +371,7 @@ class DecodingTask:
                 sample_begin=jnp.int32(self.sample_begin),
                 max_initial_ts_index=jnp.int32(self._max_initial_ts_index),
             ),
-            jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)),
+            self._rng_key(),
             features_given=features_given,
         )
         return self._assemble(result, languages, language_probs, n_audio)
@@ -403,7 +433,7 @@ class DecodingTask:
                 sample_begin=jnp.asarray(sample_begins, jnp.int32),
                 max_initial_ts_index=jnp.int32(self._max_initial_ts_index),
             ),
-            jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)),
+            self._rng_key(),
             features_given=features_given,
         )
         languages = [self.options.language] * n_audio

@@ -67,6 +67,7 @@ class EngineSpec:
     no_speech: int  # -1 if absent
     no_timestamps: int
     timestamp_begin: int
+    kv_int8: bool = False  # int8 cross-KV cache (quantize.quantize_kv)
 
 
 class FilterArgs(NamedTuple):
@@ -458,7 +459,17 @@ def decode_engine(
             0,
         )
     )
-    cache = init_kv_cache(dims, B, tile(xk, 1), tile(xv, 1), compute_dtype)
+    # cross K/V stay at n_audio rows: beams of one audio share them, and
+    # decoder_step folds the group axis into the query axis (see KVCache).
+    # Optionally quantized to int8 per (head, channel) — the dominant HBM
+    # stream of the token loop at batch; prefill above ran at full precision.
+    if spec.kv_int8:
+        from .quantize import quantize_kv  # local import: avoid cycle
+
+        xk_c, xv_c = quantize_kv(xk), quantize_kv(xv)
+    else:
+        xk_c, xv_c = xk, xv
+    cache = init_kv_cache(dims, B, xk_c, xv_c, compute_dtype)
     # prefill K/V arrive (L, B, H, P, D); the cache stores time-last
     cache = cache._replace(
         self_k=cache.self_k.at[:, :, :, :, :P].set(tile(pk, 1).swapaxes(-1, -2)),
@@ -503,7 +514,7 @@ def decode_engine(
         prev_tok = jnp.take_along_axis(
             s.tokens, jnp.clip(s.t - 1, 0, n_ctx)[:, None], axis=1
         )[:, 0]
-        h, cache = decoder_step(params, dims, prev_tok, s.t - 1, s.cache)
+        h, cache = decoder_step(params, dims, prev_tok, s.t - 1, s.cache, n_group=G)
         return s._replace(cur_logits=project_logits(params, h), cache=cache)
 
     state = jax.lax.while_loop(cond, body, state)

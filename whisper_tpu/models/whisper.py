@@ -92,7 +92,12 @@ class KVCache(NamedTuple):
     """Preallocated decoder cache, stored time-last.
 
     self_k/self_v: (L, B, H, D, n_text_ctx) — autoregressive self-attention.
-    cross_k/cross_v: (L, B, H, D, n_audio_ctx) — computed once per segment.
+    cross_k/cross_v: (L, A, H, D, n_audio_ctx) — computed once per segment.
+    A is the number of *audios*: beams/samples of one audio share identical
+    cross K/V, so the cache stores one copy per audio (A = B // n_group) and
+    the decode step folds the group axis into the query axis.  At beam 5 on
+    large-v3 the cross-KV stream dominates HBM traffic; deduplicating it cuts
+    that stream by the beam factor.
 
     Time-last keeps the 128-lane axis dense (head_dim is 64, so a (..., T, D)
     layout would pad every row 64→128: 2x HBM and 2x read bandwidth).
@@ -269,12 +274,61 @@ def decoder_prefill(
     return x, self_k, self_v
 
 
+def _cross_step_attention(
+    xq: jax.Array,  # (B, H, 1, D)
+    xk_l,  # (A, H, D, Ta) array, or {"q": int8, "s": f32 (A,H,D,1)} quantized
+    xv_l,
+    n_head: int,
+    n_group: int,
+) -> jax.Array:
+    """Decode-step cross-attention over per-audio K/V (A = B // n_group).
+
+    Folds the beam/sample group axis into the query axis so each audio's
+    cross K/V streams from HBM once per step regardless of group size, and
+    consumes int8-quantized K/V (quantize.quantize_kv) by folding the K
+    scales into q and applying the V scales to the output — the dequantize
+    fuses into the matmuls, so the HBM stream stays int8.
+    """
+    B, _, _, d_head = xq.shape
+    A = B // n_group
+    if n_group > 1:
+        q = xq[:, :, 0, :].reshape(A, n_group, n_head, d_head)
+        q = q.transpose(0, 2, 1, 3)  # (A, H, G, D)
+    else:
+        q = xq
+
+    if isinstance(xk_l, dict):
+        # fold d^-0.5 and the per-channel K scales into q (f32, then back to
+        # the compute dtype); int8 values are exact in bf16
+        sk = xk_l["s"][..., 0][:, :, None, :]  # (A, H, 1, D) f32
+        sv = xv_l["s"][..., 0][:, :, None, :]
+        q_eff = (q.astype(jnp.float32) * (d_head**-0.5) * sk).astype(q.dtype)
+        qk = jnp.einsum(
+            "ahgd,ahdk->ahgk", q_eff, xk_l["q"].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        w = jax.nn.softmax(qk, axis=-1).astype(q.dtype)
+        wv = jnp.einsum(
+            "ahgk,ahdk->ahgd", w, xv_l["q"].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = (wv * sv).astype(q.dtype)
+    else:
+        out = qkv_attention_kt(q, xk_l, xv_l)
+
+    if n_group > 1:
+        out = out.transpose(0, 2, 1, 3).reshape(B, n_head, 1, d_head)
+    return out
+
+
 def decoder_step(
     params: Params,
     dims: ModelDimensions,
     tokens: jax.Array,  # (B,) int32 — the tokens at position t
     t: jax.Array,  # scalar int32, or (B,) int32 per-row positions
     cache: KVCache,
+    *,
+    n_group: int = 1,
 ) -> Tuple[jax.Array, KVCache]:
     """One autoregressive decode step at position t.
 
@@ -284,6 +338,11 @@ def decoder_step(
     different sequence offsets, e.g. different prompt lengths per file);
     rows whose position exceeds n_ctx-1 compute garbage that is never
     persisted (the scatter drops out-of-bounds writes).
+
+    ``n_group``: beams/samples per audio.  Rows are group-major
+    (row = audio * n_group + g) and ``cache.cross_k/cross_v`` hold one copy
+    per audio; cross-attention folds the group axis into the query axis so
+    the dominant cross-KV HBM stream is read once per audio, not per beam.
     """
     dec = params["decoder"]
     n_head = dims.n_text_head
@@ -335,7 +394,7 @@ def decoder_step(
         # cross-attention + MLP
         hx = layer_norm(h2, p["xattn_ln_g"], p["xattn_ln_b"])
         xq = split_heads(_linear(hx, p["xq_w"], p["xq_b"]), n_head)
-        xattn = qkv_attention_kt(xq, xk_l, xv_l)
+        xattn = _cross_step_attention(xq, xk_l, xv_l, n_head, n_group)
         h2 = h2 + _linear(merge_heads(xattn), p["xo_w"], p["xo_b"])
         hm = layer_norm(h2, p["mlp_ln_g"], p["mlp_ln_b"])
         hm = _gelu(_linear(hm, p["fc1_w"], p["fc1_b"]))
@@ -400,6 +459,24 @@ def decoder_forward(
     causal = jnp.triu(jnp.full((T, T), NEG_INF, dtype=jnp.float32), k=1)
 
     want_qk = alignment_heads is not None
+    if not want_qk:
+        # no QK capture requested: scan over stacked layers (one traced block
+        # instead of an n_text_layer-times unrolled XLA program — compile time
+        # matters for 32-layer models)
+        def scan_body(carry, layer):
+            p, xk_l, xv_l = layer
+            h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
+            k = split_heads(_linear(h, p["k_w"]), n_head)
+            v = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
+            x_out, _ = _decoder_block(
+                carry, p, n_head, k, v, xk_l, xv_l, causal
+            )
+            return x_out, None
+
+        x, _ = jax.lax.scan(scan_body, x, (dec["blocks"], cross_k, cross_v))
+        x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+        return project_logits(params, x), None
+
     if want_qk:
         heads_by_layer = [
             [int(h) for l, h in alignment_heads if l == layer]
@@ -446,7 +523,8 @@ def init_kv_cache(
     return KVCache(
         self_k=jnp.zeros(shape, dtype=dtype),
         self_v=jnp.zeros(shape, dtype=dtype),
-        # cross K/V arrive time-last from compute_cross_kv: (L, B, H, D, Ta)
+        # cross K/V arrive time-last from compute_cross_kv at one row per
+        # audio: (L, A, H, D, Ta) with A = batch // n_group (see KVCache)
         cross_k=cross_k,
         cross_v=cross_v,
     )

@@ -44,6 +44,22 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
 
 
+def quantize_kv(x: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-channel int8 over the trailing (time) axis.
+
+    For time-last K/V caches of shape (..., D, T): one scale per (..., D)
+    channel across time.  Cross-attention K/V are computed once per segment,
+    so this is a static quantization.  At batch sizes >= 8 the cross-KV read
+    is the dominant HBM stream of the decode loop; int8 halves it vs bf16.
+    Scales are float32, shape (..., D, 1).
+    """
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale}
+
+
 def quantize_params(params: Dict[str, Any], scopes=("encoder", "decoder")) -> Dict[str, Any]:
     """Return params with matmul weights in the given scopes quantized."""
 
