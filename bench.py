@@ -35,6 +35,15 @@ def main():
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quantize", default=None, choices=[None, "int8"])
     parser.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
+    parser.add_argument(
+        "--kv-int8", action="store_true",
+        help="int8 cross-KV cache (DecodingOptions.kv_cache_dtype)",
+    )
+    parser.add_argument(
+        "--e2e", action="store_true",
+        help="measure transcribe_batch end-to-end (mel + decode + segmentation) "
+        "on synthetic 30s audio instead of the bare engine",
+    )
     args = parser.parse_args()
 
     import jax
@@ -65,31 +74,65 @@ def main():
     rng = np.random.RandomState(0)
     mel = rng.randn(args.batch, dims.n_mels, 3000).astype(np.float32) * 0.3
 
-    options = DecodingOptions(
-        language="en", task="transcribe", temperature=0.0, sample_len=args.tokens,
-        beam_size=args.beam or None,
+    metric = (
+        f"rtf_{model_name.replace('-', '_')}_"
+        + (f"beam{args.beam}" if args.beam else "greedy")
+        + f"_b{args.batch}"
+        + ("_int8" if args.quantize == "int8" else "")
+        + ("_kvint8" if args.kv_int8 else "")
+        + ("_e2e" if args.e2e else "")
     )
-    task = DecodingTask(model, options)
+    kv_dtype = "int8" if args.kv_int8 else None
 
-    # warmup/compile
-    task.run(jnp.asarray(mel))
+    if args.e2e:
+        # the product path: transcribe_batch on `batch` synthetic 30 s files —
+        # includes device mel, encoder, engine, host segmentation.  sample_len
+        # pinned as in the engine bench (random weights never emit EOT).
+        from whisper_tpu.batch import transcribe_batch
 
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        results = task.run(jnp.asarray(mel))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        audios = [
+            (rng.randn(16000 * 30) * 0.1).astype(np.float32)
+            for _ in range(args.batch)
+        ]
+        kw = dict(
+            batch_size=args.batch, language="en", temperature=0.0,
+            sample_len=args.tokens, beam_size=args.beam or None,
+            kv_cache_dtype=kv_dtype, condition_on_previous_text=False,
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+        )
+        transcribe_batch(model, audios, **kw)  # warmup/compile
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            results = transcribe_batch(model, audios, **kw)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        audio_seconds = args.batch * 30.0
+    else:
+        options = DecodingOptions(
+            language="en", task="transcribe", temperature=0.0,
+            sample_len=args.tokens, beam_size=args.beam or None,
+            kv_cache_dtype=kv_dtype,
+        )
+        task = DecodingTask(model, options)
 
-    audio_seconds = args.batch * 30.0
+        # warmup/compile
+        task.run(jnp.asarray(mel))
+
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            results = task.run(jnp.asarray(mel))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        audio_seconds = args.batch * 30.0
+
     rtf = audio_seconds / best
     print(
         json.dumps(
             {
-                "metric": f"rtf_{model_name.replace('-', '_')}_"
-                + (f"beam{args.beam}" if args.beam else "greedy")
-                + f"_b{args.batch}"
-                + ("_int8" if args.quantize == "int8" else ""),
+                "metric": metric,
                 "value": round(rtf, 2),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / A100_LARGE_V3_RTF, 3),

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Real-checkpoint validation harness (BASELINE config #1 and friends).
+
+The CI environment has no network, so every parity test runs on tiny random
+checkpoints.  This script is the one-command check to fire the moment real
+weights are available (downloaded on another machine, or cached under
+``$XDG_CACHE_HOME/whisper`` / ``--download-root``):
+
+    python scripts/validate_real.py [--model tiny.en] [--download-root DIR]
+    python scripts/validate_real.py --all            # every cached model
+    python scripts/validate_real.py --librispeech DIR --limit 64
+
+Checks mirror the reference's integration test
+(/root/reference/tests/test_transcribe.py:17-42):
+
+1. transcribe(tests/jfk.flac, word_timestamps=True) detects language "en",
+   text equals the concatenated segments, and contains the key phrases;
+2. token round-trip: tokenizer.decode(all segment tokens) == text (with the
+   timestamp-prefix check, <|0.00|> first);
+3. the word "Americans" is bracketed near 1.8 s with duration < 1 s;
+4. (optional) greedy LibriSpeech WER via whisper_tpu.evaluation — pass a
+   directory of LibriSpeech-format .flac/.trans.txt files; target is the
+   reference's published 4.26% (base.en, test-clean, notebook output).
+
+Exits 0 with "SKIP" when no cached checkpoint exists (offline CI safe).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def checkpoint_cached(name: str, download_root: str) -> bool:
+    import whisper_tpu
+
+    url = whisper_tpu._MODELS.get(name)
+    if url is None:
+        return os.path.exists(name)
+    return any(
+        os.path.exists(os.path.join(download_root, base))
+        for base in (os.path.basename(url), name + ".npz")
+    )
+
+
+def validate_jfk(model, name: str) -> None:
+    import whisper_tpu
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    jfk = os.path.join(os.path.dirname(__file__), "..", "tests", "jfk.flac")
+    result = model.transcribe(jfk, temperature=0.0, word_timestamps=True)
+
+    assert result["language"] == "en", f"{name}: language {result['language']}"
+    text = result["text"].lower()
+    assert "my fellow americans" in text, f"{name}: missing phrase: {text!r}"
+    assert "your country" in text, f"{name}: missing phrase: {text!r}"
+    assert "do for you" in text, f"{name}: missing phrase: {text!r}"
+    joined = "".join(s["text"] for s in result["segments"])
+    assert result["text"] == joined, f"{name}: text != concat(segments)"
+
+    tokenizer = get_tokenizer(
+        model.is_multilingual, num_languages=model.num_languages,
+        language="en", task="transcribe",
+    )
+    all_tokens = [t for s in result["segments"] for t in s["tokens"]]
+    assert tokenizer.decode(all_tokens) == result["text"], f"{name}: token round-trip"
+    timing_checked = False
+    for segment in result["segments"]:
+        for timing in segment["words"]:
+            assert timing["start"] <= timing["end"], f"{name}: word start > end"
+            if timing["word"].strip(" ,") == "Americans":
+                assert timing["start"] <= 1.8 <= timing["end"], (
+                    f"{name}: 'Americans' at [{timing['start']}, {timing['end']}], "
+                    "expected to bracket 1.8 s"
+                )
+                assert timing["end"] - timing["start"] < 1.0, f"{name}: overlong word"
+                timing_checked = True
+    assert timing_checked, f"{name}: word 'Americans' not found in timings"
+    print(f"OK {name}: jfk.flac transcript, token round-trip, word timing")
+
+
+def validate_librispeech(model, root: str, limit: int) -> None:
+    """Greedy WER over a LibriSpeech-format directory tree."""
+    from whisper_tpu.evaluation import evaluate_batched
+
+    pairs = []
+    for dirpath, _, files in os.walk(root):
+        for fname in sorted(files):
+            if fname.endswith(".trans.txt"):
+                with open(os.path.join(dirpath, fname)) as f:
+                    for line in f:
+                        utt_id, ref = line.strip().split(" ", 1)
+                        flac = os.path.join(dirpath, utt_id + ".flac")
+                        if os.path.exists(flac):
+                            pairs.append((flac, ref))
+    if not pairs:
+        print(f"SKIP librispeech: no .trans.txt under {root}")
+        return
+    pairs = pairs[:limit]
+    import whisper_tpu
+
+    items = [(whisper_tpu.load_audio(flac), ref) for flac, ref in pairs]
+    report = evaluate_batched(model, items, language="en", without_timestamps=True)
+    print(
+        f"OK librispeech ({len(pairs)} utts): WER {report['wer'] * 100:.2f}% "
+        f"(reference base.en test-clean: 4.26%)"
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="tiny.en")
+    parser.add_argument("--all", action="store_true", help="validate every cached model")
+    parser.add_argument("--download-root", default=None)
+    parser.add_argument("--librispeech", default=None, help="LibriSpeech dir for WER")
+    parser.add_argument("--limit", type=int, default=64)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    import whisper_tpu
+
+    download_root = args.download_root or os.path.join(
+        os.getenv("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "whisper"
+    )
+    names = whisper_tpu.available_models() if args.all else [args.model]
+    ran = 0
+    for name in names:
+        if not checkpoint_cached(name, download_root):
+            print(f"SKIP {name}: no cached checkpoint under {download_root}")
+            continue
+        model = whisper_tpu.load_model(name, download_root=args.download_root)
+        validate_jfk(model, name)
+        if args.librispeech:
+            validate_librispeech(model, args.librispeech, args.limit)
+        ran += 1
+    if ran == 0:
+        print("SKIP: no cached checkpoints found; nothing validated (offline?)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,6 +80,48 @@ def test_train_step_decreases_loss():
 
 
 @needs_8
+def test_sharded_attention_wrapper_matches_unsharded():
+    """The shard_map wrapper used for Pallas-under-TP must be numerically a
+    no-op (validated here with the XLA kernel standing in for Pallas, which
+    needs a real TPU; scripts/tpu_checks.py runs the kernel-active variant)."""
+    from whisper_tpu.ops.attention import _sharded_attention_pallas, qkv_attention
+
+    rng = np.random.RandomState(0)
+    q, k, v = (
+        jnp.asarray(rng.randn(4, 4, 256, 64), jnp.float32) for _ in range(3)
+    )
+    expected = np.asarray(qkv_attention(q, k, v)[0])
+
+    kernel = lambda q, k, v: qkv_attention(q, k, v)[0]
+    mesh = make_mesh((4, 2))
+    with mesh:
+        got = _sharded_attention_pallas(q, k, v, mesh, kernel)
+        assert got is not None
+        np.testing.assert_allclose(expected, np.asarray(got), atol=2e-5)
+        # indivisible shapes must decline (caller falls back to XLA)
+        q3 = jnp.asarray(rng.randn(3, 4, 256, 64), jnp.float32)
+        assert _sharded_attention_pallas(q3, q3, q3, mesh, kernel) is None
+
+
+@needs_8
+def test_pallas_dispatchers_fall_back_under_mesh():
+    """median/DTW dispatchers must pick the XLA path inside a mesh context."""
+    from whisper_tpu.ops.attention import ambient_mesh
+    from whisper_tpu.ops.dtw import dtw
+    from whisper_tpu.ops.median import median_filter
+
+    assert ambient_mesh() is None
+    mesh = make_mesh((4, 2))
+    with mesh:
+        assert ambient_mesh() is not None
+        x = np.random.RandomState(0).randn(6, 100).astype(np.float32)
+        out = np.asarray(median_filter(x, 7))
+        assert out.shape == x.shape
+        path = dtw(-np.random.RandomState(1).rand(12, 30).astype(np.float32))
+        assert path.shape[0] == 2
+
+
+@needs_8
 def test_tp_decode_token_equivalence():
     """The full decode engine under a TP mesh must produce the same tokens."""
     import whisper_tpu

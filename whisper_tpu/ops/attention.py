@@ -10,6 +10,7 @@ function.
 """
 
 import os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -17,6 +18,24 @@ import jax.numpy as jnp
 
 # set WHISPER_TPU_NO_PALLAS=1 to force the XLA attention path everywhere
 _DISABLE_PALLAS = os.environ.get("WHISPER_TPU_NO_PALLAS", "") == "1"
+
+
+def ambient_mesh():
+    """The device mesh currently in scope (``with mesh:`` or ``use_mesh``),
+    or None.  Pallas kernels cannot be auto-partitioned by GSPMD, so kernel
+    dispatchers use this to either shard_map the kernel over the mesh or fall
+    back to the XLA path — no environment variable required."""
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            mesh = pxla.thread_resources.env.physical_mesh
+        if not mesh.empty:
+            return mesh
+    except Exception:
+        pass
+    return None
 
 
 def qkv_attention(
@@ -93,14 +112,52 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
     Dispatches to the Pallas kernel on TPU (ops/kernels/attention_pallas.py),
     falling back to the XLA path elsewhere; both share the same numerics.
+    Under a device mesh the kernel is shard_mapped over (data, model) — heads
+    are independent, so the tensor-parallel head shards each run the kernel
+    locally (the analog of torch SDPA working under any topology, reference
+    model.py:16-22); shapes that don't divide the mesh fall back to XLA.
     """
     if not _DISABLE_PALLAS:
         from .kernels.attention_pallas import attention_pallas, pallas_available
 
         if pallas_available() and q.shape[-1] in (64, 128):
-            return attention_pallas(q, k, v)
+            mesh = ambient_mesh()
+            if mesh is None:
+                return attention_pallas(q, k, v)
+            out = _sharded_attention_pallas(q, k, v, mesh, attention_pallas)
+            if out is not None:
+                return out
     out, _ = qkv_attention(q, k, v)
     return out
+
+
+def _sharded_attention_pallas(q, k, v, mesh, kernel):
+    """shard_map the attention kernel over the mesh; None if indivisible.
+
+    Per-(batch, head) attention is embarrassingly parallel, so sharding
+    batch over "data" and heads over "model" runs the kernel on each chip's
+    local shard with no collectives.  GSPMD already lays activations out
+    this way after the column-parallel QKV projections (parallel/sharding),
+    so the shard_map boundary is a no-op reshard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    b, h, _, _ = q.shape
+    axes = set(mesh.axis_names)
+    if not axes <= {"data", "model"}:
+        return None
+    data = mesh.shape.get("data", 1)
+    model = mesh.shape.get("model", 1)
+    if b % max(data, 1) or h % max(model, 1):
+        return None
+    spec = P(
+        "data" if "data" in axes else None,
+        "model" if "model" in axes else None,
+        None,
+        None,
+    )
+    fn = jax.shard_map(kernel, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec)
+    return fn(q, k, v)
 
 
 def split_heads(x: jax.Array, n_head: int) -> jax.Array:

@@ -70,10 +70,13 @@ def _dtw_trace_device(x: jax.Array, n: int, m: int) -> jax.Array:
 
 def dtw_trace(x: jax.Array, n: int, m: int) -> jax.Array:
     """Trace diagonals for cost matrix x ((n, m) or batched (B, n, m)):
-    Pallas wavefront kernel on TPU, lax.scan elsewhere (identical output)."""
+    Pallas wavefront kernel on TPU, lax.scan elsewhere (identical output).
+    Under a device mesh the lax.scan path is used (Pallas kernels can't be
+    auto-partitioned; identical output either way)."""
+    from .attention import ambient_mesh
     from .kernels.attention_pallas import pallas_available
 
-    if pallas_available():
+    if pallas_available() and ambient_mesh() is None:
         from .kernels.dtw_pallas import dtw_trace_pallas
 
         return dtw_trace_pallas(x, n, m)

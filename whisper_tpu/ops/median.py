@@ -33,9 +33,12 @@ def median_filter(x, filter_width: int):
     assert (
         filter_width > 0 and filter_width % 2 == 1
     ), "`filter_width` should be an odd number"
+    from .attention import ambient_mesh
     from .kernels.attention_pallas import pallas_available
 
-    if pallas_available() and filter_width <= 13:
+    # Pallas kernels can't be auto-partitioned: under a mesh, use the XLA
+    # path (GSPMD shards it freely); this op is far off the hot path
+    if pallas_available() and filter_width <= 13 and ambient_mesh() is None:
         from .kernels.median_pallas import median_filter_pallas
 
         return median_filter_pallas(x, filter_width)
