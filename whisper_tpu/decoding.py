@@ -20,6 +20,7 @@ import numpy as np
 
 from .audio import CHUNK_LENGTH
 from .engine import (
+    ctx_bucket,
     EngineSpec,
     FilterArgs,
     decode_engine,
@@ -193,11 +194,14 @@ class DecodingTask:
                 f"Invalid beam size ({beam}) or patience ({patience})"
             )
 
+        _prefill = prefill_bucket(len(self.initial_tokens), self.n_ctx)
         self.spec = EngineSpec(
             beam_size=beam,
             n_group=self.n_group,
             max_candidates=max_candidates,
-            prefill_len=prefill_bucket(len(self.initial_tokens), self.n_ctx),
+            prefill_len=_prefill,
+            ctx_len=ctx_bucket(_prefill, self.sample_len, self.n_ctx),
+            uniform_pos=True,  # run() gives every row the same initial tokens
             argmax=options.temperature == 0,
             use_ts_rules=not options.without_timestamps,
             eot=tokenizer.eot,
@@ -412,7 +416,12 @@ class DecodingTask:
         from dataclasses import replace as dc_replace
 
         P = prefill_bucket(max(sample_begins), self.n_ctx)
-        spec = dc_replace(self.spec, prefill_len=P)
+        uniform = len(set(sample_begins)) == 1
+        spec = dc_replace(
+            self.spec, prefill_len=P,
+            ctx_len=ctx_bucket(P, self.sample_len, self.n_ctx),
+            uniform_pos=uniform,
+        )
         initial_padded = np.zeros((n_audio, P), np.int32)
         for i, r in enumerate(rows):
             initial_padded[i, : len(r)] = r

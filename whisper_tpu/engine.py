@@ -52,6 +52,18 @@ def prefill_bucket(initial_len: int, n_text_ctx: int) -> int:
     return n_text_ctx
 
 
+def ctx_bucket(prefill_len: int, sample_len: int, n_text_ctx: int) -> int:
+    """Time capacity of the token loop: the self-KV cache and token buffer
+    are sized to the configured generation budget (prefill + sample_len,
+    rounded up to a lane-friendly multiple of 64), not to the model's full
+    n_text_ctx.  Every decode step streams the whole (static-shape) self-KV
+    cache through the attention einsum, so at the default transcribe config
+    (no prompt: prefill 8 + 224 samples -> 256) this cuts that stream and the
+    beam-reorder gather by ~1.75-3.5x vs a 448-wide cache."""
+    need = min(prefill_len + sample_len, n_text_ctx)
+    return min((need + 63) // 64 * 64, n_text_ctx)
+
+
 @dataclass(frozen=True)
 class EngineSpec:
     """Static configuration of one compiled engine variant."""
@@ -68,6 +80,12 @@ class EngineSpec:
     no_timestamps: int
     timestamp_begin: int
     kv_int8: bool = False  # int8 cross-KV cache (quantize.quantize_kv)
+    ctx_len: int = 0  # token-loop time capacity (0 => dims.n_text_ctx)
+    # all rows share one sequence position (uniform prompt length): KV-cache
+    # writes use a scalar dynamic_update_slice instead of a per-row scatter,
+    # which keeps the while-carry cache in the attention-friendly time-minor
+    # layout (the scatter otherwise costs a full-cache layout copy per step)
+    uniform_pos: bool = False
 
 
 class FilterArgs(NamedTuple):
@@ -358,15 +376,15 @@ def _beam_update(spec: EngineSpec, state: _LoopState, logits):
         sel_tok.reshape(B), mode="drop"
     )
 
-    identity = jnp.all(src_global == jnp.arange(B))
-
-    def reorder(cache):
-        return cache._replace(
-            self_k=cache.self_k[:, src_global],
-            self_v=cache.self_v[:, src_global],
-        )
-
-    cache = jax.lax.cond(identity, lambda c: c, reorder, state.cache)
+    # unconditional gather: a lax.cond "skip when identity" here is a trap —
+    # XLA copies every carried buffer into/out of both branches each step
+    # (~15 ms/step measured at beam 5, b8), which dwarfs the gather itself.
+    # Batch-row gathers on the time-minor cache move whole tiles and keep
+    # the carry layout stable.
+    cache = state.cache._replace(
+        self_k=state.cache.self_k[:, src_global],
+        self_v=state.cache.self_v[:, src_global],
+    )
 
     completed = jnp.all((fin_count >= spec.max_candidates) | capped_audio)
     return state._replace(
@@ -414,7 +432,7 @@ def decode_engine(
     n_audio = mel_or_features.shape[0]
     G = spec.n_group
     B = n_audio * G
-    n_ctx = dims.n_text_ctx
+    n_ctx = spec.ctx_len or dims.n_text_ctx  # token-loop time capacity
     P = spec.prefill_len
     compute_dtype = params["decoder"]["tok_emb"].dtype
     initial_len = jnp.broadcast_to(initial_len, (n_audio,)).astype(jnp.int32)
@@ -469,7 +487,7 @@ def decode_engine(
         xk_c, xv_c = quantize_kv(xk), quantize_kv(xv)
     else:
         xk_c, xv_c = xk, xv
-    cache = init_kv_cache(dims, B, xk_c, xv_c, compute_dtype)
+    cache = init_kv_cache(dims, B, xk_c, xv_c, compute_dtype, ctx=n_ctx)
     # prefill K/V arrive (L, B, H, P, D); the cache stores time-last
     cache = cache._replace(
         self_k=cache.self_k.at[:, :, :, :, :P].set(tile(pk, 1).swapaxes(-1, -2)),
@@ -500,6 +518,8 @@ def decode_engine(
         # the update functions fold per-row buffer exhaustion into `completed`
         return (~s.completed) & (s.step < sample_len)
 
+    t0_scalar = initial_len[0]  # uniform-position base (see EngineSpec)
+
     def body(s: _LoopState):
         filtered = apply_logit_filters(spec, s.cur_logits, s.tokens, s.t, filter_args)
         if spec.beam_size > 0:
@@ -514,7 +534,10 @@ def decode_engine(
         prev_tok = jnp.take_along_axis(
             s.tokens, jnp.clip(s.t - 1, 0, n_ctx)[:, None], axis=1
         )[:, 0]
-        h, cache = decoder_step(params, dims, prev_tok, s.t - 1, s.cache, n_group=G)
+        # scalar position when rows are uniform (scalar KV write keeps the
+        # cache layout stable — see decoder_step), per-row vector otherwise
+        pos = (t0_scalar + s.step - 1) if spec.uniform_pos else (s.t - 1)
+        h, cache = decoder_step(params, dims, prev_tok, pos, s.cache, n_group=G)
         return s._replace(cur_logits=project_logits(params, h), cache=cache)
 
     state = jax.lax.while_loop(cond, body, state)

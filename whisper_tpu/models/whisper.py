@@ -347,12 +347,14 @@ def decoder_step(
     dec = params["decoder"]
     n_head = dims.n_text_head
     B = tokens.shape[0]
-    n_ctx = dims.n_text_ctx
+    # time capacity of this cache — possibly bucketed below the model's
+    # n_text_ctx (see engine.ctx_bucket); positions are absolute either way
+    n_ctx = cache.self_k.shape[-1]
     t_vec = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
 
     dtype = dec["tok_emb"].dtype
     tok_emb = dec["tok_emb"][tokens]  # (B, C)
-    pos_emb = dec["pos_emb"][jnp.clip(t_vec, 0, n_ctx - 1)]  # (B, C)
+    pos_emb = dec["pos_emb"][jnp.clip(t_vec, 0, dims.n_text_ctx - 1)]  # (B, C)
     x = (tok_emb + pos_emb).astype(dtype)[:, None, :]  # (B, 1, C)
 
     # self-attention reads the cache as-is (positions < t) and folds the new
@@ -411,18 +413,38 @@ def decoder_step(
     x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
 
-    # persist the new K/V at each row's position (cache is (L, B, H, D, T)):
-    # k_new is (L, B, H, 1, D); advanced indexing puts the row axis first, so
-    # values are (B, L, H, D); out-of-range positions (capped rows) drop
-    b_idx = jnp.arange(B)
-    k_val = k_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
-    v_val = v_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
-    new_self_k = cache.self_k.at[:, b_idx, :, :, t_vec].set(
-        k_val.astype(cache.self_k.dtype), mode="drop"
-    )
-    new_self_v = cache.self_v.at[:, b_idx, :, :, t_vec].set(
-        v_val.astype(cache.self_v.dtype), mode="drop"
-    )
+    # persist the new K/V at position t (cache is (L, B, H, D, T)).
+    if jnp.ndim(t) == 0:
+        # uniform position (all rows at the same t — the standard decode
+        # path): a scalar-index dynamic_update_slice along the minor time
+        # axis.  This matters: a per-row scatter makes XLA lay the while
+        # carry out D-minor (scatter-friendly) and then COPY the full cache
+        # to the time-minor layout the attention einsum wants — ~5 ms/step
+        # at large-v3 b16, measured — so scalar positions must never take
+        # the scatter path.  Out-of-range t (capped rows, final unused step)
+        # clamps and overwrites the last column, which is never read: the
+        # engine exits the loop before any row attends past its cap.
+        k_col = k_new[:, :, :, 0, :, None].astype(cache.self_k.dtype)
+        v_col = v_new[:, :, :, 0, :, None].astype(cache.self_v.dtype)
+        new_self_k = jax.lax.dynamic_update_slice_in_dim(
+            cache.self_k, k_col, t, axis=4
+        )
+        new_self_v = jax.lax.dynamic_update_slice_in_dim(
+            cache.self_v, v_col, t, axis=4
+        )
+    else:
+        # per-row positions (heterogeneous prompt lengths, transcribe_batch):
+        # advanced indexing puts the row axis first, so values are
+        # (B, L, H, D); out-of-range positions (capped rows) drop
+        b_idx = jnp.arange(B)
+        k_val = k_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
+        v_val = v_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
+        new_self_k = cache.self_k.at[:, b_idx, :, :, t_vec].set(
+            k_val.astype(cache.self_k.dtype), mode="drop"
+        )
+        new_self_v = cache.self_v.at[:, b_idx, :, :, t_vec].set(
+            v_val.astype(cache.self_v.dtype), mode="drop"
+        )
     return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
 
 
@@ -517,9 +539,10 @@ def init_kv_cache(
     cross_k: jax.Array,
     cross_v: jax.Array,
     dtype,
+    ctx: Optional[int] = None,
 ) -> KVCache:
     h, d = dims.n_text_head, dims.n_text_state // dims.n_text_head
-    shape = (dims.n_text_layer, batch, h, d, dims.n_text_ctx)
+    shape = (dims.n_text_layer, batch, h, d, ctx or dims.n_text_ctx)
     return KVCache(
         self_k=jnp.zeros(shape, dtype=dtype),
         self_v=jnp.zeros(shape, dtype=dtype),
