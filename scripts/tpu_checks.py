@@ -19,9 +19,12 @@ Covers the paths that only exist with real Pallas kernels active
 Exits non-zero on any failure; prints one OK line per check.
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

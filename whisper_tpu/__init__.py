@@ -18,6 +18,7 @@ from .audio import load_audio, log_mel_spectrogram, pad_or_trim
 from .batch import transcribe_batch
 from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models import ModelDimensions, Whisper
+from .streaming import StreamingTranscriber
 from .transcribe import transcribe
 from .version import __version__
 
@@ -212,6 +213,7 @@ __all__ = [
     "DecodingOptions",
     "DecodingResult",
     "ModelDimensions",
+    "StreamingTranscriber",
     "Whisper",
     "available_models",
     "decode",

@@ -189,6 +189,49 @@ def _log_mel_jax(audio: jax.Array, filters: jax.Array, n_mels: int) -> jax.Array
     return log_spec[0] if squeeze else log_spec
 
 
+@partial(jax.jit, static_argnames=("n_mels",))
+def _log_mel_frames_jax(samples: jax.Array, filters: jax.Array, n_mels: int) -> jax.Array:
+    """Mel frames from a pre-margined raw-sample slice (streaming path).
+
+    ``samples`` must cover every frame's full window: frame i of the output
+    reads samples [i*HOP, i*HOP + N_FFT), i.e. the caller supplies the
+    N_FFT//2-sample margins itself (real neighboring samples for interior
+    windows, reflected/zero samples at stream edges).  Numerics are identical
+    to :func:`_log_mel_jax` except the dynamic-range floor (max - 8) is
+    computed over these frames only — a streaming transcriber cannot see the
+    whole file's maximum (see streaming.StreamingTranscriber notes).
+    """
+    samples = samples.astype(jnp.float32)
+    n_frames = (samples.shape[-1] - N_FFT) // HOP_LENGTH + 1
+    idx = (
+        jnp.arange(n_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
+    )
+    patches = samples[idx]
+    cos_b, sin_b = _dft_matrices()
+    real = jnp.einsum(
+        "tn,nk->tk", patches, cos_b,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    imag = jnp.einsum(
+        "tn,nk->tk", patches, sin_b,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    magnitudes = real * real + imag * imag
+    mel_spec = jnp.einsum(
+        "mf,tf->mt", filters, magnitudes,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def log_mel_frames(samples: Union[np.ndarray, jax.Array], n_mels: int = 80) -> jax.Array:
+    """Log-Mel frames of a pre-margined sample slice (see _log_mel_frames_jax)."""
+    filters = jnp.asarray(mel_filters(n_mels))
+    return _log_mel_frames_jax(jnp.asarray(samples, jnp.float32), filters, n_mels)
+
+
 def log_mel_spectrogram(
     audio: Union[str, np.ndarray, jax.Array],
     n_mels: int = 80,
