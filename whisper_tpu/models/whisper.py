@@ -416,22 +416,21 @@ def decoder_step(
     # persist the new K/V at position t (cache is (L, B, H, D, T)).
     if jnp.ndim(t) == 0:
         # uniform position (all rows at the same t — the standard decode
-        # path): a scalar-index dynamic_update_slice along the minor time
-        # axis.  This matters: a per-row scatter makes XLA lay the while
-        # carry out D-minor (scatter-friendly) and then COPY the full cache
-        # to the time-minor layout the attention einsum wants — ~5 ms/step
-        # at large-v3 b16, measured — so scalar positions must never take
-        # the scatter path.  Out-of-range t (capped rows, final unused step)
-        # clamps and overwrites the last column, which is never read: the
-        # engine exits the loop before any row attends past its cap.
+        # path): a masked full-cache rewrite (`where` on a time iota).
+        # Measured on v5e with the cache consumed by the layer scan in the
+        # same loop body: a per-row scatter drags the carry into a D-minor
+        # layout and adds a full layout copy (~5 ms/step at large-v3 b16);
+        # dynamic_update_slice is never done in place here (~3.4 ms/step);
+        # `where` streams the buffer once with a fused select (~1.1 ms/step,
+        # scripts/bench_kv_write.py).  Out-of-range t (capped rows' final
+        # unused step) matches no column and is a no-op.
+        time_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, 1, 1, n_ctx), 4
+        )
         k_col = k_new[:, :, :, 0, :, None].astype(cache.self_k.dtype)
         v_col = v_new[:, :, :, 0, :, None].astype(cache.self_v.dtype)
-        new_self_k = jax.lax.dynamic_update_slice_in_dim(
-            cache.self_k, k_col, t, axis=4
-        )
-        new_self_v = jax.lax.dynamic_update_slice_in_dim(
-            cache.self_v, v_col, t, axis=4
-        )
+        new_self_k = jnp.where(time_iota == t, k_col, cache.self_k)
+        new_self_v = jnp.where(time_iota == t, v_col, cache.self_v)
     else:
         # per-row positions (heterogeneous prompt lengths, transcribe_batch):
         # advanced indexing puts the row axis first, so values are

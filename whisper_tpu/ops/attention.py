@@ -156,7 +156,11 @@ def _sharded_attention_pallas(q, k, v, mesh, kernel):
         None,
         None,
     )
-    fn = jax.shard_map(kernel, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec)
+    # check_vma=False: the kernel body is a pallas_call whose out_shape
+    # carries no varying-mesh-axes annotation (JAX 0.9 requires it otherwise)
+    fn = jax.shard_map(
+        kernel, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec, check_vma=False
+    )
     return fn(q, k, v)
 
 

