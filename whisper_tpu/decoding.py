@@ -12,6 +12,7 @@ finalize/tie-break semantics of reference decoding.py:384-404,190-213).
 """
 
 from dataclasses import dataclass, field, replace
+from functools import lru_cache
 from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Union
 
 import jax
@@ -32,6 +33,51 @@ from .utils import compression_ratio
 
 if TYPE_CHECKING:
     from .models.whisper import Whisper
+
+
+# ---------------------------------------------------------------------------
+# Device staging caches.
+#
+# transcribe() constructs a fresh DecodingTask per window (mirroring the
+# reference), and every host->device transfer over a remote TPU attachment
+# costs a round-trip (~10 ms measured) — so the small per-task constants
+# (suppression masks, scalar options, the prompt-token block) are staged once
+# per *value* here and reused across tasks/windows.  Everything cached is
+# tiny (<= a few hundred KB); the caches are keyed by value, not identity,
+# so equal configurations share one device buffer.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=512)
+def _dev_i32(value: int) -> jax.Array:
+    return jax.device_put(np.int32(value))
+
+
+@lru_cache(maxsize=64)
+def _dev_f32(value: float) -> jax.Array:
+    return jax.device_put(np.float32(value))
+
+
+@lru_cache(maxsize=64)
+def _dev_token_mask(n_vocab: int, true_indices: tuple) -> jax.Array:
+    mask = np.zeros(n_vocab, dtype=bool)
+    if true_indices:
+        mask[list(true_indices)] = True
+    return jax.device_put(mask)
+
+
+@lru_cache(maxsize=64)
+def _dev_initial_block(tokens: tuple, prefill_len: int, n_audio: int) -> jax.Array:
+    """The right-padded initial-token block, tiled to the batch."""
+    block = np.zeros((n_audio, prefill_len), np.int32)
+    block[:, : len(tokens)] = tokens
+    return jax.device_put(block)
+
+
+@lru_cache(maxsize=1)
+def _dev_key0() -> jax.Array:
+    """Constant RNG key for argmax decodes (the value is never consumed)."""
+    return jax.random.PRNGKey(0)
 
 
 def detect_language(model: "Whisper", mel, tokenizer: Tokenizer = None):
@@ -61,19 +107,15 @@ def detect_language(model: "Whisper", mel, tokenizer: Tokenizer = None):
         model.dims.n_audio_state,
     )
 
-    language_mask = np.zeros(model.dims.n_vocab, dtype=bool)
-    language_mask[list(tokenizer.all_language_tokens)] = True
-
     lang_tokens, lang_probs, _ = detect_language_engine(
         model.params,
         model.dims,
         mel,
-        jnp.asarray(language_mask),
-        jnp.int32(tokenizer.sot),
+        _dev_token_mask(model.dims.n_vocab, tuple(tokenizer.all_language_tokens)),
+        _dev_i32(tokenizer.sot),
         features_given=features_given,
     )
-    lang_tokens = np.asarray(lang_tokens)
-    lang_probs = np.asarray(lang_probs)
+    lang_tokens, lang_probs = jax.device_get((lang_tokens, lang_probs))
 
     language_probs = [
         {
@@ -169,16 +211,19 @@ class DecodingTask:
         self.sample_begin: int = len(self.initial_tokens)
         self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
 
-        # suppression masks (reference decoding.py:555-558,615-642)
+        # suppression masks (reference decoding.py:555-558,615-642), staged
+        # on device once per distinct mask value (see _dev_token_mask)
         n_vocab = model.dims.n_vocab
-        suppress_mask = np.zeros(n_vocab, dtype=bool)
-        if self.options.suppress_tokens:
-            suppress_mask[list(self._get_suppress_tokens())] = True
-        blank_mask = np.zeros(n_vocab, dtype=bool)
-        if self.options.suppress_blank:
-            blank_mask[tokenizer.encode(" ") + [tokenizer.eot]] = True
-        self._suppress_mask = jnp.asarray(suppress_mask)
-        self._blank_mask = jnp.asarray(blank_mask)
+        suppress_indices = (
+            self._get_suppress_tokens() if self.options.suppress_tokens else ()
+        )
+        blank_indices = (
+            tuple(tokenizer.encode(" ") + [tokenizer.eot])
+            if self.options.suppress_blank
+            else ()
+        )
+        self._suppress_mask = _dev_token_mask(n_vocab, suppress_indices)
+        self._blank_mask = _dev_token_mask(n_vocab, blank_indices)
 
         max_initial_ts_index = -1
         if not options.without_timestamps and options.max_initial_timestamp:
@@ -288,7 +333,13 @@ class DecodingTask:
 
     def _rng_key(self) -> "jax.Array":
         """Sampling key: explicit DecodingOptions.seed, else numpy's global RNG
-        (the analog of the reference inheriting torch's global seed)."""
+        (the analog of the reference inheriting torch's global seed).
+
+        At temperature 0 the key is never consumed, so a cached constant is
+        passed instead of paying a device transfer per decode.
+        """
+        if self.options.temperature == 0:
+            return _dev_key0()
         seed = self.options.seed
         if seed is None:
             seed = np.random.randint(0, 2**31 - 1)
@@ -314,18 +365,19 @@ class DecodingTask:
         audio_features = None
 
         if self.options.language is None or self.options.task == "lang_id":
-            language_mask = np.zeros(self.model.dims.n_vocab, dtype=bool)
-            language_mask[list(tokenizer.all_language_tokens)] = True
             lang_tokens, lang_probs_arr, audio_features = detect_language_engine(
                 self.model.params,
                 self.model.dims,
                 mel,
-                jnp.asarray(language_mask),
-                jnp.int32(tokenizer.sot),
+                _dev_token_mask(
+                    self.model.dims.n_vocab, tuple(tokenizer.all_language_tokens)
+                ),
+                _dev_i32(tokenizer.sot),
                 features_given=features_given,
             )
-            lang_tokens = np.asarray(lang_tokens)
-            lang_probs_arr = np.asarray(lang_probs_arr)
+            lang_tokens, lang_probs_arr = jax.device_get(
+                (lang_tokens, lang_probs_arr)
+            )
             language_probs = [
                 {
                     c: float(lang_probs_arr[i, j])
@@ -354,26 +406,32 @@ class DecodingTask:
             mel = audio_features
             features_given = True
 
-        # pad initial tokens to the prefill bucket
+        # pad initial tokens to the prefill bucket; when the rows are the
+        # static per-task prompt (no language rewrite) the padded block is
+        # staged once per value and reused across windows
         P = self.spec.prefill_len
-        initial_padded = np.zeros((n_audio, P), np.int32)
-        initial_padded[:, : self.sample_begin] = initial
+        if self.options.language is not None:
+            initial_dev = _dev_initial_block(self.initial_tokens, P, n_audio)
+        else:
+            initial_padded = np.zeros((n_audio, P), np.int32)
+            initial_padded[:, : self.sample_begin] = initial
+            initial_dev = jax.device_put(initial_padded)
 
         result = decode_engine(
             self.model.params,
             self.model.dims,
             self.spec,
             mel,
-            jnp.asarray(initial_padded),
-            jnp.int32(self.sample_begin),
-            jnp.int32(self.sot_index),
-            jnp.int32(self.sample_len),
-            jnp.float32(self.options.temperature),
+            initial_dev,
+            _dev_i32(self.sample_begin),
+            _dev_i32(self.sot_index),
+            _dev_i32(self.sample_len),
+            _dev_f32(self.options.temperature),
             FilterArgs(
                 suppress_mask=self._suppress_mask,
                 blank_mask=self._blank_mask,
-                sample_begin=jnp.int32(self.sample_begin),
-                max_initial_ts_index=jnp.int32(self._max_initial_ts_index),
+                sample_begin=_dev_i32(self.sample_begin),
+                max_initial_ts_index=_dev_i32(self._max_initial_ts_index),
             ),
             self._rng_key(),
             features_given=features_given,
@@ -426,21 +484,30 @@ class DecodingTask:
         for i, r in enumerate(rows):
             initial_padded[i, : len(r)] = r
 
+        # one host->device round-trip for all per-call dynamic inputs
+        initial_dev, begins_dev, sots_dev = jax.device_put(
+            (
+                initial_padded,
+                np.asarray(sample_begins, np.int32),
+                np.asarray(sot_indices, np.int32),
+            )
+        )
+
         result = decode_engine(
             self.model.params,
             self.model.dims,
             spec,
             mel,
-            jnp.asarray(initial_padded),
-            jnp.asarray(sample_begins, jnp.int32),
-            jnp.asarray(sot_indices, jnp.int32),
-            jnp.int32(self.sample_len),
-            jnp.float32(self.options.temperature),
+            initial_dev,
+            begins_dev,
+            sots_dev,
+            _dev_i32(self.sample_len),
+            _dev_f32(self.options.temperature),
             FilterArgs(
                 suppress_mask=self._suppress_mask,
                 blank_mask=self._blank_mask,
-                sample_begin=jnp.asarray(sample_begins, jnp.int32),
-                max_initial_ts_index=jnp.int32(self._max_initial_ts_index),
+                sample_begin=begins_dev,
+                max_initial_ts_index=_dev_i32(self._max_initial_ts_index),
             ),
             self._rng_key(),
             features_given=features_given,
@@ -460,13 +527,20 @@ class DecodingTask:
         if sample_begins is None:
             sample_begins = [self.sample_begin] * n_audio
 
-        tokens_buf = np.asarray(result.tokens)  # (B, n_ctx+1)
+        # one device->host round-trip for every buffer the host finalize
+        # needs (separate np.asarray fetches cost a round-trip each over a
+        # remote TPU attachment — ~80 ms/call measured at 4 fetches)
+        fetch = [result.tokens, result.seq_len, result.sum_logprobs,
+                 result.no_speech_probs]
+        if self.spec.beam_size:
+            fetch += [result.fin_tokens, result.fin_scores, result.fin_count]
+        host = jax.device_get(fetch)
+        tokens_buf = host[0]  # (B, n_ctx+1)
         seq_lens = np.minimum(
-            np.broadcast_to(np.asarray(result.seq_len), (tokens_buf.shape[0],)),
-            tokens_buf.shape[1],
+            np.broadcast_to(host[1], (tokens_buf.shape[0],)), tokens_buf.shape[1]
         )
-        sum_logprobs = np.asarray(result.sum_logprobs)
-        no_speech_probs = np.asarray(result.no_speech_probs)
+        sum_logprobs = host[2]
+        no_speech_probs = host[3]
         # keep encoder features on device: they are large (B x 1500 x C) and
         # only needed if the caller reuses them (reference also returns the
         # device tensor, decoding.py:776-777)
@@ -481,9 +555,7 @@ class DecodingTask:
         grouped_scores: List[List[float]] = []
 
         if self.spec.beam_size:
-            fin_tokens = np.asarray(result.fin_tokens)
-            fin_scores = np.asarray(result.fin_scores)
-            fin_count = np.asarray(result.fin_count)
+            fin_tokens, fin_scores, fin_count = host[4], host[5], host[6]
             beam = self.spec.beam_size
             for i in range(n_audio):
                 # finished rows carry their own EOT; trim() stops there

@@ -171,13 +171,17 @@ def find_alignment_batch(
         medfilt_width,
         tb - sot_len,
         mels,
-        jnp.asarray(padded),
-        jnp.asarray(t_reals, jnp.int32),
-        jnp.asarray([nf // 2 for nf in num_frames_batch], jnp.int32),
-        jnp.float32(qk_scale),
+        *jax.device_put(  # one round-trip for the per-call host inputs
+            (
+                padded,
+                np.asarray(t_reals, np.int32),
+                np.asarray([nf // 2 for nf in num_frames_batch], np.int32),
+                np.float32(qk_scale),
+            )
+        ),
     )
-    token_probs = np.asarray(token_probs)
-    trace_diags = np.asarray(trace_diags)
+    # one round-trip for the outputs as well
+    token_probs, trace_diags = jax.device_get((token_probs, trace_diags))
 
     out: List[List[WordTiming]] = []
     for i, text_tokens in enumerate(text_tokens_batch):
