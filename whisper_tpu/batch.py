@@ -22,10 +22,12 @@ thresholds); only a decode-level fixed ``prompt`` is rejected since prompts
 are managed per file here.
 """
 
+from functools import partial
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .audio import (
@@ -34,8 +36,8 @@ from .audio import (
     N_FRAMES,
     N_SAMPLES,
     SAMPLE_RATE,
+    load_audio,
     log_mel_spectrogram,
-    pad_or_trim,
 )
 from .decoding import DecodingOptions, DecodingTask
 from .tokenizer import get_tokenizer
@@ -47,10 +49,34 @@ from .transcribe import (
 from .utils import exact_div, get_end
 
 
+@partial(jax.jit, static_argnames=("n_frames",))
+def _slice_windows_dev(
+    mels: jax.Array,  # (n_files, n_mels, F) device-resident log-mel store
+    rows: jax.Array,  # (B,) i32 file indices
+    seeks: jax.Array,  # (B,) i32 per-row window start frames
+    sizes: jax.Array,  # (B,) i32 per-row valid frame counts
+    n_frames: int = N_FRAMES,
+) -> jax.Array:
+    """Slice per-file decode windows out of the device mel store.
+
+    Mirrors the reference's host-side ``pad_or_trim(mel[:, seek:seek+3000])``
+    (transcribe.py:284-286) without ever moving mel to the host: frames past
+    a row's ``size`` are zeroed, exactly like pad_or_trim's zero padding.
+    Keeping mels device-resident avoids the dominant transfer costs of
+    batched transcription over a remote TPU attachment (the per-file mel
+    download and the per-round window re-uploads).
+    """
+    sel = mels[rows]
+    win = jax.vmap(
+        lambda m, s: jax.lax.dynamic_slice_in_dim(m, s, n_frames, axis=-1)
+    )(sel, seeks)
+    mask = jnp.arange(n_frames)[None, None, :] < sizes[:, None, None]
+    return jnp.where(mask, win, 0.0)
+
+
 class _FileState:
-    def __init__(self, mel: np.ndarray, clip_timestamps: Union[str, List[float]] = "0"):
-        self.mel = mel
-        self.content_frames = mel.shape[-1] - N_FRAMES
+    def __init__(self, content_frames: int, clip_timestamps: Union[str, List[float]] = "0"):
+        self.content_frames = content_frames
         self.segments: List[dict] = []
         self.tokens: List[int] = []
         self.language: Optional[str] = None
@@ -88,13 +114,11 @@ class _FileState:
             return False
         return True
 
-    def window(self) -> Tuple[np.ndarray, int]:
+    def window_size(self) -> int:
         clip_end = self.seek_clips[self.clip_idx][1]
-        segment_size = min(
+        return min(
             N_FRAMES, self.content_frames - self.seek, clip_end - self.seek
         )
-        mel_segment = self.mel[:, self.seek : self.seek + segment_size]
-        return pad_or_trim(mel_segment, N_FRAMES), segment_size
 
 
 def transcribe_batch(
@@ -127,15 +151,47 @@ def transcribe_batch(
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
 
+    # one device-resident mel store for all files: stack the waveforms (padded
+    # to the longest), compute every log-mel in ONE device program, and never
+    # fetch mel to the host.  Numerically identical to per-file
+    # log_mel_spectrogram: the dynamic-range floor is already per-row, and a
+    # row's extra tail (beyond its own length + the 30 s zero padding) is pure
+    # silence that never raises its max — while every decode window only ever
+    # reads frames inside the row's true region.
+    arrs = [
+        load_audio(a) if isinstance(a, str) else np.asarray(a, np.float32).reshape(-1)
+        for a in audios
+    ]
+    lens = [a.shape[0] for a in arrs]
+    buf = np.zeros((len(arrs), max(lens) if lens else 0), np.float32)
+    for i, a in enumerate(arrs):
+        buf[i, : a.shape[0]] = a
+    mels_dev = log_mel_spectrogram(
+        jax.device_put(buf), model.dims.n_mels, padding=N_SAMPLES
+    )
+
     states = [
         _FileState(
-            np.asarray(
-                log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-            ),
+            content_frames=(n + N_SAMPLES) // HOP_LENGTH - N_FRAMES,
             clip_timestamps=clip_timestamps,
         )
-        for audio in audios
+        for n in lens
     ]
+
+    def slice_windows(row_indices: List[int], pad_to: int) -> jax.Array:
+        """Device windows for the given files at their current seeks."""
+        n = len(row_indices)
+        rows = np.zeros(pad_to, np.int32)
+        seeks = np.zeros(pad_to, np.int32)
+        sizes = np.zeros(pad_to, np.int32)
+        for j, i in enumerate(row_indices):
+            st = states[i]
+            rows[j] = i
+            if st.done:  # exhausted/empty file: zero window
+                continue
+            seeks[j] = st.seek
+            sizes[j] = st.window_size()
+        return _slice_windows_dev(mels_dev, *jax.device_put((rows, seeks, sizes)))
 
     # language: pinned, or batched detection on each file's first window
     language = decode_options.get("language")
@@ -148,15 +204,12 @@ def transcribe_batch(
     else:
         from .decoding import detect_language
 
-        first = np.stack(
-            [
-                st.window()[0]
-                if not st.done
-                else np.zeros((model.dims.n_mels, N_FRAMES), np.float32)
-                for st in states
-            ]
+        # done (empty) files keep a zero window, as before — their detected
+        # language is irrelevant but keeps row alignment and batch shape
+        first = slice_windows(
+            [i for i in range(len(states))], len(states)
         )
-        _, probs = detect_language(model, jnp.asarray(first))
+        _, probs = detect_language(model, first)
         for st, p in zip(states, probs):
             st.language = max(p, key=p.get)
 
@@ -209,13 +262,8 @@ def transcribe_batch(
         active = [i for i in indices if not states[i].done]
         while active:
             rows = active[:batch_size]
-            windows = [states[i].window() for i in rows]
-            mels = np.stack([w for w, _ in windows])
-            if len(rows) < batch_size:
-                mels = np.concatenate(
-                    [mels, np.zeros((batch_size - len(rows),) + mels.shape[1:],
-                                    mels.dtype)]
-                )
+            sizes = [states[i].window_size() for i in rows]
+            wins_dev = slice_windows(rows, batch_size)  # (batch, n_mels, 3000)
 
             # per-file prompt: everything accepted since the last reset
             # (transcribe's condition_on_previous_text semantics)
@@ -226,9 +274,7 @@ def transcribe_batch(
             # already passed the gates keep their earlier result
             results = [None] * len(rows)
             for t in temperatures:
-                batch_results = get_task(t).run_with_prompts(
-                    jnp.asarray(mels), prompts
-                )
+                batch_results = get_task(t).run_with_prompts(wins_dev, prompts)
                 any_pending = False
                 for j in range(len(rows)):
                     if results[j] is not None:
@@ -251,7 +297,7 @@ def transcribe_batch(
             for j, i in enumerate(rows):
                 st = states[i]
                 result = results[j]
-                _, segment_size = windows[j]
+                segment_size = sizes[j]
                 time_offset = float(st.seek * HOP_LENGTH / SAMPLE_RATE)
                 segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
 
@@ -309,7 +355,9 @@ def transcribe_batch(
                     model,
                     tokenizer,
                     [text_tokens[k] for k in aligned_rows],
-                    np.stack([windows[pending[k]["row"]][0] for k in aligned_rows]),
+                    wins_dev[
+                        np.asarray([pending[k]["row"] for k in aligned_rows])
+                    ],  # device gather — no host round-trip
                     [pending[k]["segment_size"] for k in aligned_rows],
                 ) if aligned_rows else []
                 # rows with no text tokens still run add_word_timestamps (with
@@ -325,7 +373,7 @@ def transcribe_batch(
                         segments=p["segments"],
                         model=model,
                         tokenizer=tokenizer,
-                        mel=windows[p["row"]][0],
+                        mel=None,  # unused: alignment is always precomputed here
                         num_frames=p["segment_size"],
                         prepend_punctuations=prepend_punctuations,
                         append_punctuations=append_punctuations,

@@ -11,6 +11,7 @@ function.
 
 import os
 import warnings
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -18,6 +19,10 @@ import jax.numpy as jnp
 
 # set WHISPER_TPU_NO_PALLAS=1 to force the XLA attention path everywhere
 _DISABLE_PALLAS = os.environ.get("WHISPER_TPU_NO_PALLAS", "") == "1"
+
+# query-block size of the Pallas encoder-attention kernel (tuning knob;
+# larger blocks amortize the per-program K/V residency and softmax passes)
+_ENC_Q_BLOCK = int(os.environ.get("WHISPER_TPU_ATTN_QBLOCK", "512"))
 
 
 def ambient_mesh():
@@ -121,10 +126,11 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         from .kernels.attention_pallas import attention_pallas, pallas_available
 
         if pallas_available() and q.shape[-1] in (64, 128):
+            kernel = partial(attention_pallas, q_block=_ENC_Q_BLOCK)
             mesh = ambient_mesh()
             if mesh is None:
-                return attention_pallas(q, k, v)
-            out = _sharded_attention_pallas(q, k, v, mesh, attention_pallas)
+                return kernel(q, k, v)
+            out = _sharded_attention_pallas(q, k, v, mesh, kernel)
             if out is not None:
                 return out
     out, _ = qkv_attention(q, k, v)

@@ -41,11 +41,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_valid: int):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("q_block",))
+def attention_pallas(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, q_block: int = Q_BLOCK
+) -> jax.Array:
     """Non-causal multi-head attention: (B, H, T, D) -> (B, H, T, D).
 
-    T need not divide Q_BLOCK: the grid's last query block is partially
+    T need not divide q_block: the grid's last query block is partially
     out-of-range and Pallas masks its stores (no HBM pad/slice round-trip —
     at 1500-token encoder context the pad+slice copies cost ~1.8 ms/layer
     at batch 16, measured).  Out-of-range *query* rows produce garbage that
@@ -59,20 +61,20 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     kf = k.reshape(bh, t, d)
     vf = v.reshape(bh, t, d)
 
-    grid = (bh, (t + Q_BLOCK - 1) // Q_BLOCK)
+    grid = (bh, (t + q_block - 1) // q_block)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, t_valid=t),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q_BLOCK, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * t * t * d,

@@ -28,7 +28,6 @@ from .audio import (
     N_SAMPLES,
     SAMPLE_RATE,
     log_mel_spectrogram,
-    pad_or_trim,
 )
 from .decoding import DecodingOptions, DecodingResult
 from .tokenizer import LANGUAGES, TO_LANGUAGE_CODE, get_tokenizer
@@ -311,12 +310,24 @@ def transcribe(
     docstring for the meaning of each threshold.
     """
     # whole-file mel with 30 s of trailing silence for the final window
-    # (reference transcribe.py:139)
-    mel = np.asarray(
-        log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-    )
+    # (reference transcribe.py:139).  The mel stays DEVICE-resident for the
+    # whole transcription: windows are sliced on device per seek (see
+    # batch._slice_windows_dev), so neither the full mel nor the per-window
+    # segments ever cross the host boundary — the dominant transfer cost of
+    # long files over a remote TPU attachment.
+    from .batch import _slice_windows_dev
+
+    mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
     content_frames = mel.shape[-1] - N_FRAMES
     content_duration = float(content_frames * HOP_LENGTH / SAMPLE_RATE)
+    mel_store = mel[None]  # (1, n_mels, F)
+
+    def slice_window(seek: int, size: int):
+        """Device window [seek : seek+size], zero-padded to 3000 frames."""
+        row = np.zeros(1, np.int32)
+        return _slice_windows_dev(
+            mel_store, row, np.full(1, seek, np.int32), np.full(1, size, np.int32)
+        )[0]
 
     if decode_options.get("language", None) is None:
         if not model.is_multilingual:
@@ -327,7 +338,9 @@ def transcribe(
                     "Detecting language using up to the first 30 seconds. "
                     "Use `--language` to specify the language"
                 )
-            mel_segment = pad_or_trim(mel, N_FRAMES)
+            # first 3000 mel frames as-is (pad_or_trim only ever trims here:
+            # the mel always carries >= 3000 frames of trailing silence)
+            mel_segment = slice_window(0, N_FRAMES)
             _, probs = model.detect_language(mel_segment)
             decode_options["language"] = max(probs, key=probs.get)
             if verbose is not None:
@@ -420,9 +433,8 @@ def transcribe(
             time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
             window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
             segment_size = min(N_FRAMES, content_frames - seek, seek_clip_end - seek)
-            mel_segment = mel[:, seek : seek + segment_size]
             segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
-            mel_segment = pad_or_trim(mel_segment, N_FRAMES)
+            mel_segment = slice_window(seek, segment_size)
 
             if carry_initial_prompt:
                 nignored = max(len(initial_prompt_tokens), prompt_reset_since)
