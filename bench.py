@@ -44,6 +44,14 @@ def main():
         help="measure transcribe_batch end-to-end (mel + decode + segmentation) "
         "on synthetic 30s audio instead of the bare engine",
     )
+    parser.add_argument(
+        "--draft", default=None, choices=[None, "self", "turbo"],
+        help="speculative decoding draft: 'self' = target drafts for itself "
+        "(the all-accept ceiling), 'turbo' = large-v3-turbo-shaped draft "
+        "(random weights -> ~zero acceptance: the overhead floor; real "
+        "weights sit in between)",
+    )
+    parser.add_argument("--draft-len", type=int, default=4)
     args = parser.parse_args()
 
     import jax
@@ -71,6 +79,15 @@ def main():
         params = quantize_params(params)
     model = Whisper(dims, params, dtype=dtype)
 
+    draft_model = None
+    if args.draft == "self":
+        draft_model = model
+    elif args.draft == "turbo":
+        ddims = KNOWN_MODELS["large-v3-turbo"]
+        draft_model = Whisper(
+            ddims, init_params(ddims, jax.random.PRNGKey(1), dtype), dtype=dtype
+        )
+
     rng = np.random.RandomState(0)
     mel = rng.randn(args.batch, dims.n_mels, 3000).astype(np.float32) * 0.3
 
@@ -80,6 +97,7 @@ def main():
         + f"_b{args.batch}"
         + ("_int8" if args.quantize == "int8" else "")
         + ("_kvint8" if args.kv_int8 else "")
+        + (f"_draft_{args.draft}{args.draft_len}" if args.draft else "")
         + ("_e2e" if args.e2e else "")
     )
     kv_dtype = "int8" if args.kv_int8 else None
@@ -101,6 +119,8 @@ def main():
             compression_ratio_threshold=None, logprob_threshold=None,
             no_speech_threshold=None,
         )
+        if draft_model is not None:
+            kw["draft_model"] = draft_model
         transcribe_batch(model, audios, **kw)  # warmup/compile
         times = []
         for _ in range(args.repeats):
@@ -113,9 +133,9 @@ def main():
         options = DecodingOptions(
             language="en", task="transcribe", temperature=0.0,
             sample_len=args.tokens, beam_size=args.beam or None,
-            kv_cache_dtype=kv_dtype,
+            kv_cache_dtype=kv_dtype, draft_len=args.draft_len,
         )
-        task = DecodingTask(model, options)
+        task = DecodingTask(model, options, draft_model=draft_model)
 
         # warmup/compile
         task.run(jnp.asarray(mel))

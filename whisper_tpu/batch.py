@@ -248,14 +248,20 @@ def transcribe_batch(
 
         def get_task(t: float) -> DecodingTask:
             if t not in tasks:
-                kwargs = {k: v for k, v in decode_options.items() if k != "language"}
+                kwargs = {
+                    k: v
+                    for k, v in decode_options.items()
+                    if k not in ("language", "draft_model")
+                }
                 if t > 0:
                     kwargs.pop("beam_size", None)
                     kwargs.pop("patience", None)
                 else:
                     kwargs.pop("best_of", None)
                 tasks[t] = DecodingTask(
-                    model, DecodingOptions(**kwargs, language=lang, temperature=t)
+                    model,
+                    DecodingOptions(**kwargs, language=lang, temperature=t),
+                    draft_model=decode_options.get("draft_model"),
                 )
             return tasks[t]
 

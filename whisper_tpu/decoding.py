@@ -25,6 +25,7 @@ from .engine import (
     EngineSpec,
     FilterArgs,
     decode_engine,
+    decode_engine_speculative,
     detect_language_engine,
     prefill_bucket,
 )
@@ -169,6 +170,10 @@ class DecodingOptions:
     # the compute dtype (bit-exact decoding).
     kv_cache_dtype: Optional[str] = None
 
+    # TPU addition: tokens the draft model proposes per speculative round
+    # (used only when a draft model is supplied; see DecodingTask).
+    draft_len: int = 4
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -184,10 +189,39 @@ class DecodingResult:
 
 
 class DecodingTask:
-    """Host orchestration of one segment-decoding configuration."""
+    """Host orchestration of one segment-decoding configuration.
 
-    def __init__(self, model: "Whisper", options: DecodingOptions):
+    ``draft_model``: optional smaller Whisper used for speculative greedy
+    decoding (engine.decode_engine_speculative) — output tokens stay the
+    target model's own greedy choices; the draft only affects speed.
+    Requires temperature 0, no beam/best-of, and an identical vocabulary
+    (the intended pair is large-v3 + large-v3-turbo, which also share the
+    encoder).  Ignored for sampling/beam configurations.
+    """
+
+    def __init__(self, model: "Whisper", options: DecodingOptions,
+                 draft_model: Optional["Whisper"] = None):
         self.model = model
+        self.draft_model = None
+        if draft_model is not None and options.temperature == 0 and not (
+            options.beam_size or options.best_of
+        ):
+            if draft_model.dims.n_vocab != model.dims.n_vocab:
+                raise ValueError(
+                    "draft model must share the target's vocabulary "
+                    f"(draft {draft_model.dims.n_vocab} vs "
+                    f"target {model.dims.n_vocab}); e.g. large-v3-turbo "
+                    "drafts for large-v3, tiny for large-v2"
+                )
+            self.draft_model = draft_model
+        # the draft consumes the target's encoder output directly when the
+        # feature shapes line up (always output-safe: a mismatched encoder
+        # only lowers the acceptance rate; large-v3-turbo literally shares
+        # large-v3's frozen encoder)
+        self._share_encoder = self.draft_model is not None and (
+            self.draft_model.dims.n_audio_ctx,
+            self.draft_model.dims.n_audio_state,
+        ) == (model.dims.n_audio_ctx, model.dims.n_audio_state)
 
         language = options.language or "en"
         tokenizer = get_tokenizer(
@@ -400,9 +434,12 @@ class DecodingTask:
                 for i in range(n_audio)
             ]
 
-        if audio_features is not None:
+        if audio_features is not None and (
+            self.draft_model is None or self._share_encoder
+        ):
             # reuse the features computed during language detection instead of
-            # re-encoding the mel (reference decoding.py:716-722 semantics)
+            # re-encoding the mel (reference decoding.py:716-722 semantics);
+            # skipped when a draft model needs its own encoder pass on raw mel
             mel = audio_features
             features_given = True
 
@@ -417,25 +454,44 @@ class DecodingTask:
             initial_padded[:, : self.sample_begin] = initial
             initial_dev = jax.device_put(initial_padded)
 
-        result = decode_engine(
-            self.model.params,
-            self.model.dims,
-            self.spec,
-            mel,
-            initial_dev,
-            _dev_i32(self.sample_begin),
-            _dev_i32(self.sot_index),
-            _dev_i32(self.sample_len),
-            _dev_f32(self.options.temperature),
-            FilterArgs(
-                suppress_mask=self._suppress_mask,
-                blank_mask=self._blank_mask,
-                sample_begin=_dev_i32(self.sample_begin),
-                max_initial_ts_index=_dev_i32(self._max_initial_ts_index),
-            ),
-            self._rng_key(),
-            features_given=features_given,
+        fargs = FilterArgs(
+            suppress_mask=self._suppress_mask,
+            blank_mask=self._blank_mask,
+            sample_begin=_dev_i32(self.sample_begin),
+            max_initial_ts_index=_dev_i32(self._max_initial_ts_index),
         )
+        if self.draft_model is not None:
+            result = decode_engine_speculative(
+                self.model.params,
+                self.draft_model.params,
+                self.model.dims,
+                self.draft_model.dims,
+                self.spec,
+                mel,
+                initial_dev,
+                _dev_i32(self.sample_begin),
+                _dev_i32(self.sot_index),
+                _dev_i32(self.sample_len),
+                fargs,
+                draft_len=self.options.draft_len,
+                features_given=features_given,
+                share_encoder=self._share_encoder,
+            )
+        else:
+            result = decode_engine(
+                self.model.params,
+                self.model.dims,
+                self.spec,
+                mel,
+                initial_dev,
+                _dev_i32(self.sample_begin),
+                _dev_i32(self.sot_index),
+                _dev_i32(self.sample_len),
+                _dev_f32(self.options.temperature),
+                fargs,
+                self._rng_key(),
+                features_given=features_given,
+            )
         return self._assemble(result, languages, language_probs, n_audio)
 
     def run_with_prompts(self, mel, prompts: List[List[int]]) -> List[DecodingResult]:
@@ -493,25 +549,44 @@ class DecodingTask:
             )
         )
 
-        result = decode_engine(
-            self.model.params,
-            self.model.dims,
-            spec,
-            mel,
-            initial_dev,
-            begins_dev,
-            sots_dev,
-            _dev_i32(self.sample_len),
-            _dev_f32(self.options.temperature),
-            FilterArgs(
-                suppress_mask=self._suppress_mask,
-                blank_mask=self._blank_mask,
-                sample_begin=begins_dev,
-                max_initial_ts_index=_dev_i32(self._max_initial_ts_index),
-            ),
-            self._rng_key(),
-            features_given=features_given,
+        fargs = FilterArgs(
+            suppress_mask=self._suppress_mask,
+            blank_mask=self._blank_mask,
+            sample_begin=begins_dev,
+            max_initial_ts_index=_dev_i32(self._max_initial_ts_index),
         )
+        if self.draft_model is not None:
+            result = decode_engine_speculative(
+                self.model.params,
+                self.draft_model.params,
+                self.model.dims,
+                self.draft_model.dims,
+                spec,
+                mel,
+                initial_dev,
+                begins_dev,
+                sots_dev,
+                _dev_i32(self.sample_len),
+                fargs,
+                draft_len=self.options.draft_len,
+                features_given=features_given,
+                share_encoder=self._share_encoder,
+            )
+        else:
+            result = decode_engine(
+                self.model.params,
+                self.model.dims,
+                spec,
+                mel,
+                initial_dev,
+                begins_dev,
+                sots_dev,
+                _dev_i32(self.sample_len),
+                _dev_f32(self.options.temperature),
+                fargs,
+                self._rng_key(),
+                features_given=features_given,
+            )
         languages = [self.options.language] * n_audio
         return self._assemble(
             result, languages, None, n_audio, sample_begins=sample_begins
@@ -634,13 +709,19 @@ def decode(
     options: DecodingOptions = DecodingOptions(),
     **kwargs,
 ) -> Union[DecodingResult, List[DecodingResult]]:
-    """Decode 30-second mel segment(s); parity with reference decoding.py:792-826."""
+    """Decode 30-second mel segment(s); parity with reference decoding.py:792-826.
+
+    ``draft_model=<Whisper>`` enables speculative greedy decoding (see
+    DecodingTask); it is a model object, so it travels as a kwarg rather
+    than a DecodingOptions field.
+    """
     mel = jnp.asarray(mel)
     if single := mel.ndim == 2:
         mel = mel[None]
 
+    draft_model = kwargs.pop("draft_model", None)
     if kwargs:
         options = replace(options, **kwargs)
 
-    result = DecodingTask(model, options).run(mel)
+    result = DecodingTask(model, options, draft_model=draft_model).run(mel)
     return result[0] if single else result

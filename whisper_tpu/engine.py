@@ -37,6 +37,7 @@ from .models.whisper import (
     compute_cross_kv,
     decoder_prefill,
     decoder_step,
+    decoder_step_k,
     encoder_apply,
     init_kv_cache,
     project_logits,
@@ -551,6 +552,254 @@ def decode_engine(
         fin_tokens=state.fin_tokens,
         fin_scores=state.fin_scores,
         fin_count=state.fin_count,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Speculative greedy decoding (draft model proposes, target verifies)
+# ---------------------------------------------------------------------------
+
+
+class _SpecState(NamedTuple):
+    tokens: jax.Array  # (B, n_ctx+1) committed + provisional draft tokens
+    t: jax.Array  # (B,) i32 — committed length per row
+    rounds: jax.Array  # scalar i32 safety counter
+    cache: KVCache  # target
+    draft_cache: KVCache
+    sum_logprobs: jax.Array  # (B,) f32
+    done: jax.Array  # (B,) bool — EOT committed / budget reached / capped
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "draft_dims", "spec", "draft_len", "features_given",
+        "share_encoder",
+    ),
+)
+def decode_engine_speculative(
+    params,
+    draft_params,
+    dims: ModelDimensions,
+    draft_dims: ModelDimensions,
+    spec: EngineSpec,
+    mel_or_features: jax.Array,
+    initial_tokens: jax.Array,  # (n_audio, prefill_len) i32
+    initial_len: jax.Array,  # (n_audio,) i32
+    sot_index: jax.Array,  # (n_audio,) i32
+    sample_len: jax.Array,  # scalar i32
+    filter_args: FilterArgs,
+    draft_len: int = 4,
+    features_given: bool = False,
+    share_encoder: bool = True,
+) -> EngineResult:
+    """Greedy decoding with a small draft model proposing blocks of tokens.
+
+    No reference analog (the reference decodes one token per forward).  Each
+    round the draft proposes ``draft_len`` tokens autoregressively; the
+    target model scores all of them (plus one bonus position) in a single
+    K-token pass (decoder_step_k), so its weight and cross-KV HBM streams —
+    the decode bottleneck — are read once per ~accepted-run instead of once
+    per token.  Output tokens are the target's own greedy choices: exact
+    agreement with plain greedy decoding regardless of draft quality (the
+    draft only affects speed), including logit filters and EOT/budget rules.
+
+    The intended pairing is large-v3 with large-v3-turbo's decoder as the
+    draft: turbo kept large-v3's encoder frozen, so ``share_encoder=True``
+    feeds both decoders one encoder pass.  Sharing is always output-safe —
+    a mismatched draft encoder only lowers the acceptance rate.
+
+    Greedy only (temperature 0, no beam): ``spec.n_group`` must be 1.
+    """
+    assert spec.n_group == 1 and spec.beam_size == 0 and spec.argmax
+    n_audio = mel_or_features.shape[0]
+    B = n_audio
+    n_ctx = spec.ctx_len or dims.n_text_ctx
+    P = spec.prefill_len
+    S = draft_len
+    W = S + 2  # draft resync window: covers the largest per-round advance
+    compute_dtype = params["decoder"]["tok_emb"].dtype
+    initial_len = jnp.broadcast_to(initial_len, (B,)).astype(jnp.int32)
+    sot_index = jnp.broadcast_to(sot_index, (B,)).astype(jnp.int32)
+    filter_args = filter_args._replace(
+        sample_begin=jnp.broadcast_to(filter_args.sample_begin, (B,)).astype(
+            jnp.int32
+        )
+    )
+
+    # 1) encoder(s)
+    if features_given:
+        audio_features = mel_or_features.astype(compute_dtype)
+    else:
+        audio_features = encoder_apply(params, dims, mel_or_features)
+    if share_encoder:
+        draft_features = audio_features.astype(
+            draft_params["decoder"]["tok_emb"].dtype
+        )
+    else:
+        draft_features = encoder_apply(draft_params, draft_dims, mel_or_features)
+
+    # 2) cross K/V + prefill for both models
+    xk, xv = compute_cross_kv(params, dims, audio_features)
+    hidden, pk, pv = decoder_prefill(params, dims, initial_tokens, xk, xv)
+    dxk, dxv = compute_cross_kv(draft_params, draft_dims, draft_features)
+    _, dpk, dpv = decoder_prefill(draft_params, draft_dims, initial_tokens, dxk, dxv)
+
+    if spec.no_speech >= 0:
+        sot_hidden = jnp.take_along_axis(
+            hidden, sot_index[:, None, None], axis=1
+        )[:, 0]
+        sot_probs = jax.nn.softmax(project_logits(params, sot_hidden), axis=-1)
+        no_speech_probs = sot_probs[:, spec.no_speech]
+    else:
+        no_speech_probs = jnp.full((n_audio,), jnp.nan, jnp.float32)
+
+    if spec.kv_int8:
+        from .quantize import quantize_kv
+
+        xk, xv = quantize_kv(xk), quantize_kv(xv)
+    cache = init_kv_cache(dims, B, xk, xv, compute_dtype, ctx=n_ctx)
+    cache = cache._replace(
+        self_k=cache.self_k.at[:, :, :, :, :P].set(pk.swapaxes(-1, -2)),
+        self_v=cache.self_v.at[:, :, :, :, :P].set(pv.swapaxes(-1, -2)),
+    )
+    draft_dtype = draft_params["decoder"]["tok_emb"].dtype
+    draft_cache = init_kv_cache(draft_dims, B, dxk, dxv, draft_dtype, ctx=n_ctx)
+    draft_cache = draft_cache._replace(
+        self_k=draft_cache.self_k.at[:, :, :, :, :P].set(dpk.swapaxes(-1, -2)),
+        self_v=draft_cache.self_v.at[:, :, :, :, :P].set(dpv.swapaxes(-1, -2)),
+    )
+
+    tokens = jnp.zeros((B, n_ctx + 1), jnp.int32)
+    tokens = tokens.at[:, :P].set(initial_tokens)
+
+    state = _SpecState(
+        tokens=tokens,
+        t=initial_len,
+        rounds=jnp.int32(0),
+        cache=cache,
+        draft_cache=draft_cache,
+        sum_logprobs=jnp.zeros((B,), jnp.float32),
+        done=jnp.zeros((B,), bool),
+    )
+    b_idx = jnp.arange(B)
+
+    def gather_cols(buf, start, k):
+        """buf[b, start[b] + i] for i < k, clamped into range."""
+        cols = jnp.clip(start[:, None] + jnp.arange(k)[None, :], 0, n_ctx)
+        return jnp.take_along_axis(buf, cols, axis=1)
+
+    def cond(s: _SpecState):
+        return (~jnp.all(s.done)) & (s.rounds < sample_len)
+
+    def body(s: _SpecState):
+        tokens, t = s.tokens, s.t
+
+        # --- draft resync: one W-token pass brings the draft cache up to the
+        # committed prefix (tokens committed last round were never processed
+        # by the draft), and yields the draft's logits at position t ---
+        start0 = jnp.maximum(t - W, 0)
+        win = gather_cols(tokens, start0, W)
+        sync_h, draft_cache = decoder_step_k(
+            draft_params, draft_dims, win, start0, s.draft_cache
+        )
+        last_idx = (t - 1 - start0)[:, None, None]  # (B,1,1)
+        d_logits = project_logits(
+            draft_params,
+            jnp.take_along_axis(sync_h, last_idx, axis=1)[:, 0],
+        )
+
+        # --- draft proposes S tokens (provisionally written to the buffer,
+        # beyond each row's committed length, so the filters see them) ---
+        def propose(carry, _):
+            tokens, pos, d_logits, draft_cache = carry
+            filtered = apply_logit_filters(spec, d_logits, tokens, pos, filter_args)
+            d_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+            tokens = tokens.at[b_idx, pos].set(d_tok, mode="drop")
+            h, draft_cache = decoder_step(
+                draft_params, draft_dims, d_tok, pos, draft_cache
+            )
+            return (
+                tokens, pos + 1, project_logits(draft_params, h), draft_cache
+            ), d_tok
+
+        (tokens, _, _, draft_cache), drafts = jax.lax.scan(
+            propose, (tokens, t, d_logits, draft_cache), None, length=S
+        )
+        drafts = drafts.T  # (B, S)
+
+        # --- target verifies: one (S+1)-token pass over
+        # [last committed, d_1..d_S] at positions t-1 .. t+S-1 ---
+        ver_in = gather_cols(tokens, t - 1, S + 1)
+        ver_h, cache = decoder_step_k(params, dims, ver_in, t - 1, s.cache)
+        ver_logits = project_logits(params, ver_h)  # (B, S+1, V) f32
+
+        # --- sequential accept scan: position i commits the target's own
+        # greedy token; continuing past i requires the draft to have matched
+        # (ver_logits[:, i+1] assumed d_{i+1} was the input) ---
+        def accept(carry, i):
+            tokens, t_cur, acc, done, sum_lp = carry
+            pos = t_cur  # (B,) current commit position per accepting row
+            cur = ver_logits[b_idx, jnp.minimum(i, S)]
+            filtered = apply_logit_filters(spec, cur, tokens, pos, filter_args)
+            tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+            logprobs = jax.nn.log_softmax(filtered, axis=-1)
+            lp = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+
+            capped = pos >= (n_ctx + 1)
+            budget_ok = (pos - initial_len) < sample_len
+            commit = acc & ~done & budget_ok & ~capped
+            tokens = jnp.where(
+                commit[:, None],
+                tokens.at[b_idx, pos].set(tok, mode="drop"),
+                tokens,
+            )
+            sum_lp = sum_lp + jnp.where(commit, lp, 0.0)
+            t_cur = t_cur + commit.astype(jnp.int32)
+            done = done | (commit & (tok == spec.eot)) | (~budget_ok) | capped
+
+            # keep accepting only while the draft predicted the same token
+            # (the bonus position i == S never continues)
+            matched = (i < S) & (tok == drafts[:, jnp.minimum(i, S - 1)])
+            acc = commit & matched & (tok != spec.eot)
+            return (tokens, t_cur, acc, done, sum_lp), None
+
+        acc0 = ~s.done
+        (tokens, t_new, _, done, sum_lp), _ = jax.lax.scan(
+            accept,
+            (tokens, t, acc0, s.done, s.sum_logprobs),
+            jnp.arange(S + 1),
+        )
+
+        return s._replace(
+            tokens=tokens,
+            t=t_new,
+            rounds=s.rounds + 1,
+            cache=cache,
+            draft_cache=draft_cache,
+            sum_logprobs=sum_lp,
+            done=done,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # rows may carry provisional draft tokens beyond t; overwrite with EOT so
+    # host trimming (which pads an EOT anyway) never sees them
+    cols = jnp.arange(n_ctx + 1)[None, :]
+    tokens = jnp.where(
+        cols >= state.t[:, None], jnp.int32(spec.eot), state.tokens
+    )
+
+    n_fin = max(spec.max_candidates, 1)
+    return EngineResult(
+        tokens=tokens,
+        seq_len=state.t,
+        sum_logprobs=state.sum_logprobs,
+        no_speech_probs=no_speech_probs,
+        audio_features=audio_features,
+        fin_tokens=jnp.zeros((n_audio, n_fin, n_ctx + 1), jnp.int32),
+        fin_scores=jnp.full((n_audio, n_fin), -jnp.inf, jnp.float32),
+        fin_count=jnp.zeros((n_audio,), jnp.int32),
     )
 
 

@@ -447,6 +447,152 @@ def decoder_step(
     return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
 
 
+def decoder_step_k(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B, K) int32 — inputs for positions t0 .. t0+K-1
+    t0: jax.Array,  # (B,) int32 per-row start positions
+    cache: KVCache,
+    *,
+    n_group: int = 1,
+) -> Tuple[jax.Array, KVCache]:
+    """A K-token causal decode step at per-row start positions.
+
+    The speculative-decoding workhorse (no reference analog): processes K
+    consecutive tokens in one pass — each query attends the committed cache
+    (positions < t0) plus the causal prefix of the K-block — and writes the
+    block's K/V into the cache at t0..t0+K-1.  Rows whose positions run past
+    the cache capacity drop their writes (same out-of-bounds semantics as
+    decoder_step).  Returns hidden states (B, K, C) after the final LayerNorm.
+
+    Cache entries at positions >= t0 may hold garbage from rejected
+    speculative writes; the position mask keeps them unattended, and accepted
+    re-writes overwrite them.
+    """
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    B, K = tokens.shape
+    n_ctx = cache.self_k.shape[-1]
+    t0 = jnp.broadcast_to(t0, (B,)).astype(jnp.int32)
+
+    dtype = dec["tok_emb"].dtype
+    positions = t0[:, None] + jnp.arange(K)[None, :]  # (B, K)
+    tok_emb = dec["tok_emb"][tokens]  # (B, K, C)
+    pos_emb = dec["pos_emb"][jnp.clip(positions, 0, dims.n_text_ctx - 1)]
+    x = (tok_emb + pos_emb).astype(dtype)
+
+    # cache part: query i sees positions < t0 (committed prefix)
+    cache_mask = jnp.where(
+        jnp.arange(n_ctx)[None, None, None, :] < t0[:, None, None, None],
+        0.0,
+        NEG_INF,
+    ).astype(jnp.float32)  # (B, 1, 1, n_ctx)
+    # block part: causal within the K new tokens
+    block_mask = jnp.triu(jnp.full((K, K), NEG_INF, jnp.float32), k=1)
+
+    def scan_body(carry, layer):
+        p, cache_k_l, cache_v_l, xk_l, xv_l = layer  # caches (B, H, D, T)
+        h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
+        q = split_heads(_linear(h, p["q_w"], p["q_b"]), n_head)  # (B, H, K, D)
+        k_new = split_heads(_linear(h, p["k_w"]), n_head)
+        v_new = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
+
+        d = q.shape[-1]
+        scale = d**-0.25
+        s_old = jnp.einsum(
+            "bhqd,bhdk->bhqk", q * scale, cache_k_l * scale,
+            preferred_element_type=jnp.float32,
+        ) + cache_mask
+        s_new = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k_new * scale,
+            preferred_element_type=jnp.float32,
+        ) + block_mask[None, None]
+        s = jnp.concatenate([s_old, s_new], axis=-1).astype(jnp.float32)
+        w = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        attn = jnp.einsum(
+            "bhqk,bhdk->bhqd", w[..., :n_ctx], cache_v_l,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bhqk,bhkd->bhqd", w[..., n_ctx:], v_new,
+            preferred_element_type=jnp.float32,
+        )
+        attn = attn.astype(q.dtype)
+        h2 = carry + _linear(merge_heads(attn), p["o_w"], p["o_b"])
+
+        hx = layer_norm(h2, p["xattn_ln_g"], p["xattn_ln_b"])
+        xq = split_heads(_linear(hx, p["xq_w"], p["xq_b"]), n_head)
+        xattn = _cross_step_attention_k(xq, xk_l, xv_l, n_head, n_group)
+        h2 = h2 + _linear(merge_heads(xattn), p["xo_w"], p["xo_b"])
+        hm = layer_norm(h2, p["mlp_ln_g"], p["mlp_ln_b"])
+        hm = _gelu(_linear(hm, p["fc1_w"], p["fc1_b"]))
+        x_out = h2 + _linear(hm, p["fc2_w"], p["fc2_b"])
+        return x_out, (k_new, v_new)
+
+    xs = (
+        dec["blocks"],
+        cache.self_k,
+        cache.self_v,
+        cache.cross_k,
+        cache.cross_v,
+    )
+    x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+
+    # persist the block's K/V at positions (B, K); out-of-range writes drop.
+    # The (row, position) advanced indices are non-adjacent in the cache's
+    # (L, B, H, D, T) layout, so they move to the front: values are
+    # (B, K, L, H, D).
+    b_idx = jnp.arange(B)[:, None]
+    k_val = k_new.transpose(1, 3, 0, 2, 4)  # (L,B,H,K,D) -> (B,K,L,H,D)
+    v_val = v_new.transpose(1, 3, 0, 2, 4)
+    new_self_k = cache.self_k.at[:, b_idx, :, :, positions].set(
+        k_val.astype(cache.self_k.dtype), mode="drop"
+    )
+    new_self_v = cache.self_v.at[:, b_idx, :, :, positions].set(
+        v_val.astype(cache.self_v.dtype), mode="drop"
+    )
+    return x, cache._replace(self_k=new_self_k, self_v=new_self_v)
+
+
+def _cross_step_attention_k(
+    xq: jax.Array,  # (B, H, K, D)
+    xk_l,  # (A, H, D, Ta) array or int8-quantized dict
+    xv_l,
+    n_head: int,
+    n_group: int,
+) -> jax.Array:
+    """K-query variant of _cross_step_attention (group folding included)."""
+    B, _, K, d_head = xq.shape
+    A = B // n_group
+    if n_group > 1:
+        q = xq.reshape(A, n_group, n_head, K, d_head)
+        q = q.transpose(0, 2, 1, 3, 4).reshape(A, n_head, n_group * K, d_head)
+    else:
+        q = xq
+
+    if isinstance(xk_l, dict):
+        sk = xk_l["s"][..., 0][:, :, None, :]  # (A, H, 1, D) f32
+        sv = xv_l["s"][..., 0][:, :, None, :]
+        q_eff = (q.astype(jnp.float32) * (d_head**-0.5) * sk).astype(q.dtype)
+        qk = jnp.einsum(
+            "ahgd,ahdk->ahgk", q_eff, xk_l["q"].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        w = jax.nn.softmax(qk, axis=-1).astype(q.dtype)
+        wv = jnp.einsum(
+            "ahgk,ahdk->ahgd", w, xv_l["q"].astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = (wv * sv).astype(q.dtype)
+    else:
+        out = qkv_attention_kt(q, xk_l, xv_l)
+
+    if n_group > 1:
+        out = out.reshape(A, n_head, n_group, K, d_head)
+        out = out.transpose(0, 2, 1, 3, 4).reshape(B, n_head, K, d_head)
+    return out
+
+
 def project_logits(params: Params, hidden: jax.Array) -> jax.Array:
     """hidden (..., C) -> logits (..., n_vocab), float32 (tied embeddings)."""
     emb = params["decoder"]["tok_emb"]

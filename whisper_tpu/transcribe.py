@@ -371,6 +371,10 @@ def transcribe(
     if word_timestamps and task == "translate":
         warnings.warn("Word-level timestamps on translations may not be reliable.")
 
+    # speculative draft model (a Whisper object, not a DecodingOptions field);
+    # applies only to the greedy rung of the ladder
+    draft_model = decode_options.pop("draft_model", None)
+
     def decode_with_fallback(segment: np.ndarray) -> DecodingResult:
         """Temperature ladder with quality gates (reference transcribe.py:184-224)."""
         temperatures = (
@@ -388,7 +392,7 @@ def transcribe(
                 kwargs.pop("best_of", None)
 
             options = DecodingOptions(**kwargs, temperature=t)
-            decode_result = model.decode(segment, options)
+            decode_result = model.decode(segment, options, draft_model=draft_model)
 
             if not needs_fallback(
                 decode_result,
