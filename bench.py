@@ -46,12 +46,17 @@ def main():
     )
     parser.add_argument(
         "--draft", default=None, choices=[None, "self", "turbo"],
-        help="speculative decoding draft: 'self' = target drafts for itself "
-        "(the all-accept ceiling), 'turbo' = large-v3-turbo-shaped draft "
-        "(random weights -> ~zero acceptance: the overhead floor; real "
-        "weights sit in between)",
+        help="speculative decoding draft: 'turbo' = large-v3-turbo-shaped "
+        "draft (random weights -> ~zero acceptance: the overhead floor), "
+        "'self' = target drafts for itself (acceptance sanity, not a perf "
+        "ceiling — the draft costs as much as the target)",
     )
     parser.add_argument("--draft-len", type=int, default=4)
+    parser.add_argument(
+        "--force-accept", action="store_true",
+        help="benchmark-only: pretend every draft token matched, measuring "
+        "the all-accept wall-clock ceiling (outputs are meaningless)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -98,6 +103,7 @@ def main():
         + ("_int8" if args.quantize == "int8" else "")
         + ("_kvint8" if args.kv_int8 else "")
         + (f"_draft_{args.draft}{args.draft_len}" if args.draft else "")
+        + ("_forceacc" if args.force_accept else "")
         + ("_e2e" if args.e2e else "")
     )
     kv_dtype = "int8" if args.kv_int8 else None
@@ -136,6 +142,8 @@ def main():
             kv_cache_dtype=kv_dtype, draft_len=args.draft_len,
         )
         task = DecodingTask(model, options, draft_model=draft_model)
+        if args.force_accept:
+            task._force_accept = True
 
         # warmup/compile
         task.run(jnp.asarray(mel))

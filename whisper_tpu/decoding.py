@@ -476,6 +476,8 @@ class DecodingTask:
                 draft_len=self.options.draft_len,
                 features_given=features_given,
                 share_encoder=self._share_encoder,
+                # benchmark-only all-accept mode (see engine docstring)
+                force_accept=getattr(self, "_force_accept", False),
             )
         else:
             result = decode_engine(

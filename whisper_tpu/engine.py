@@ -574,7 +574,7 @@ class _SpecState(NamedTuple):
     jax.jit,
     static_argnames=(
         "dims", "draft_dims", "spec", "draft_len", "features_given",
-        "share_encoder",
+        "share_encoder", "force_accept",
     ),
 )
 def decode_engine_speculative(
@@ -592,6 +592,7 @@ def decode_engine_speculative(
     draft_len: int = 4,
     features_given: bool = False,
     share_encoder: bool = True,
+    force_accept: bool = False,
 ) -> EngineResult:
     """Greedy decoding with a small draft model proposing blocks of tokens.
 
@@ -710,23 +711,31 @@ def decode_engine_speculative(
         )
 
         # --- draft proposes S tokens (provisionally written to the buffer,
-        # beyond each row's committed length, so the filters see them) ---
-        def propose(carry, _):
-            tokens, pos, d_logits, draft_cache = carry
-            filtered = apply_logit_filters(spec, d_logits, tokens, pos, filter_args)
-            d_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
-            tokens = tokens.at[b_idx, pos].set(d_tok, mode="drop")
-            h, draft_cache = decoder_step(
-                draft_params, draft_dims, d_tok, pos, draft_cache
-            )
-            return (
-                tokens, pos + 1, project_logits(draft_params, h), draft_cache
-            ), d_tok
+        # beyond each row's committed length, so the filters see them).  The
+        # first comes straight from the sync pass; each further proposal
+        # costs one draft step — the final proposal needs none (the verify
+        # pass recomputes everything) ---
+        filtered0 = apply_logit_filters(spec, d_logits, tokens, t, filter_args)
+        d_first = jnp.argmax(filtered0, axis=-1).astype(jnp.int32)
+        tokens = tokens.at[b_idx, t].set(d_first, mode="drop")
 
-        (tokens, _, _, draft_cache), drafts = jax.lax.scan(
-            propose, (tokens, t, d_logits, draft_cache), None, length=S
+        def propose(carry, _):
+            tokens, pos, prev_tok, draft_cache = carry
+            h, draft_cache = decoder_step(
+                draft_params, draft_dims, prev_tok, pos, draft_cache
+            )
+            logits = project_logits(draft_params, h)
+            filtered = apply_logit_filters(
+                spec, logits, tokens, pos + 1, filter_args
+            )
+            tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+            tokens = tokens.at[b_idx, pos + 1].set(tok, mode="drop")
+            return (tokens, pos + 1, tok, draft_cache), tok
+
+        (tokens, _, _, draft_cache), rest = jax.lax.scan(
+            propose, (tokens, t, d_first, draft_cache), None, length=S - 1
         )
-        drafts = drafts.T  # (B, S)
+        drafts = jnp.concatenate([d_first[None], rest], axis=0).T  # (B, S)
 
         # --- target verifies: one (S+1)-token pass over
         # [last committed, d_1..d_S] at positions t-1 .. t+S-1 ---
@@ -759,8 +768,13 @@ def decode_engine_speculative(
             done = done | (commit & (tok == spec.eot)) | (~budget_ok) | capped
 
             # keep accepting only while the draft predicted the same token
-            # (the bonus position i == S never continues)
-            matched = (i < S) & (tok == drafts[:, jnp.minimum(i, S - 1)])
+            # (the bonus position i == S never continues).  force_accept is a
+            # BENCHMARK-ONLY knob: it pretends every draft matched, measuring
+            # the all-accept wall-clock ceiling with random weights (where a
+            # real draft would never agree); outputs are then meaningless.
+            matched = (i < S) & (
+                force_accept | (tok == drafts[:, jnp.minimum(i, S - 1)])
+            )
             acc = commit & matched & (tok != spec.eot)
             return (tokens, t_cur, acc, done, sum_lp), None
 

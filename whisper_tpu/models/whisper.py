@@ -432,18 +432,19 @@ def decoder_step(
         new_self_k = jnp.where(time_iota == t, k_col, cache.self_k)
         new_self_v = jnp.where(time_iota == t, v_col, cache.self_v)
     else:
-        # per-row positions (heterogeneous prompt lengths, transcribe_batch):
-        # advanced indexing puts the row axis first, so values are
-        # (B, L, H, D); out-of-range positions (capped rows) drop
-        b_idx = jnp.arange(B)
-        k_val = k_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
-        v_val = v_new[:, :, :, 0, :].transpose(1, 0, 2, 3)
-        new_self_k = cache.self_k.at[:, b_idx, :, :, t_vec].set(
-            k_val.astype(cache.self_k.dtype), mode="drop"
-        )
-        new_self_v = cache.self_v.at[:, b_idx, :, :, t_vec].set(
-            v_val.astype(cache.self_v.dtype), mode="drop"
-        )
+        # per-row positions (heterogeneous prompt lengths, transcribe_batch;
+        # speculative draft steps): same masked full-cache rewrite as the
+        # scalar case, with a per-row column mask.  A gather/scatter here
+        # drags the while-carry into a D-minor layout and adds a full layout
+        # copy per step (~5 ms at large-v3 b16, measured) — the fused select
+        # streams the buffer once and keeps the layout.  Out-of-range rows
+        # match no column (no-op).
+        time_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n_ctx), 4)
+        row_mask = time_iota == t_vec[None, :, None, None, None]
+        k_col = k_new[:, :, :, 0, :, None].astype(cache.self_k.dtype)
+        v_col = v_new[:, :, :, 0, :, None].astype(cache.self_v.dtype)
+        new_self_k = jnp.where(row_mask, k_col, cache.self_k)
+        new_self_v = jnp.where(row_mask, v_col, cache.self_v)
     return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
 
 
@@ -538,19 +539,29 @@ def decoder_step_k(
     x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
 
-    # persist the block's K/V at positions (B, K); out-of-range writes drop.
-    # The (row, position) advanced indices are non-adjacent in the cache's
-    # (L, B, H, D, T) layout, so they move to the front: values are
-    # (B, K, L, H, D).
-    b_idx = jnp.arange(B)[:, None]
-    k_val = k_new.transpose(1, 3, 0, 2, 4)  # (L,B,H,K,D) -> (B,K,L,H,D)
-    v_val = v_new.transpose(1, 3, 0, 2, 4)
-    new_self_k = cache.self_k.at[:, b_idx, :, :, positions].set(
-        k_val.astype(cache.self_k.dtype), mode="drop"
+    # persist the block's K/V at positions t0..t0+K-1 per row.  Formulated as
+    # a one-hot contraction over the (small) block axis plus a fused select,
+    # NOT a scatter or a gather: a (row, position) scatter drags the
+    # while-carry cache into a D-minor layout with a full layout copy per
+    # call, and a take_along_axis with cache-shaped indices lowers to a
+    # pathological elementwise gather (measured ~100x slower).  The einsum
+    # streams the cache once and rides the MXU; one-hot times bf16 values is
+    # exact.  Out-of-range positions (beyond capacity) match no column.
+    time_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n_ctx), 4)
+    offset = time_iota - t0[None, :, None, None, None]  # (1,B,1,1,T)
+    in_block = (offset >= 0) & (offset < K)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, K, n_ctx), 2)
+    onehot = (
+        col == (t0[:, None, None] + jnp.arange(K)[None, :, None])
+    ).astype(cache.self_k.dtype)  # (B, K, T)
+    k_blk = jnp.einsum(
+        "lbhkd,bkt->lbhdt", k_new.astype(cache.self_k.dtype), onehot
     )
-    new_self_v = cache.self_v.at[:, b_idx, :, :, positions].set(
-        v_val.astype(cache.self_v.dtype), mode="drop"
+    v_blk = jnp.einsum(
+        "lbhkd,bkt->lbhdt", v_new.astype(cache.self_v.dtype), onehot
     )
+    new_self_k = jnp.where(in_block, k_blk, cache.self_k)
+    new_self_v = jnp.where(in_block, v_blk, cache.self_v)
     return x, cache._replace(self_k=new_self_k, self_v=new_self_v)
 
 

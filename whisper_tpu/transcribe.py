@@ -628,6 +628,11 @@ def cli():
                                    help="process only these start,end,... second ranges (last end defaults to EOF)")),
         ("--hallucination_silence_threshold", dict(type=optional_float,
                                                    help="with word_timestamps, skip silences longer than this around suspected hallucinations")),
+        # TPU extension (no reference analog): speculative decoding
+        ("--draft_model", dict(type=str, default=None,
+                               help="smaller model that drafts tokens for speculative greedy "
+                               "decoding (token-exact with plain greedy); e.g. 'turbo' when "
+                               "--model large-v3")),
     ]
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter
@@ -660,6 +665,10 @@ def cli():
         temperature = [temperature]
 
     model = load_model(model_name, device=device, download_root=model_dir)
+    if (draft_name := args.pop("draft_model")) is not None:
+        args["draft_model"] = load_model(
+            draft_name, device=device, download_root=model_dir
+        )
 
     writer = get_writer(output_format, output_dir)
     word_options = [
