@@ -94,8 +94,24 @@ def main():
         )
         return res + (y.reshape(b, t, c) + bias)
 
+    def fc2_barrier(x, w, bias, res):
+        # block XLA from fusing the residual add into the matmul epilogue:
+        # run the matmul clean, then a separate bandwidth-bound add pass
+        y = jax.lax.dot_general(
+            x.reshape(-1, 4 * c), w, (((1,), (0,)), ((), ())),
+        )
+        y = jax.lax.optimization_barrier(y)
+        return res + (y.reshape(b, t, c) + bias)
+
+    from _matmul_pallas_experiment import matmul_residual_pallas
+
+    def fc2_pallas(x, w, bias, res):
+        return matmul_residual_pallas(x.reshape(-1, 4 * c), w, bias,
+                                      res.reshape(-1, c)).reshape(b, t, c)
+
     for name, fn in [("einsum+res", fc2_plain), ("einsum f32 pref", fc2_pref),
-                     ("flat dot", fc2_flat)]:
+                     ("flat dot", fc2_flat), ("opt-barrier", fc2_barrier),
+                     ("pallas epilogue", fc2_pallas)]:
         dt = timeit(jax.jit(fn), x, w, bias, res)
         print(f"fc2 {name:16s}: {dt * 1e3:7.2f} ms  {fl2 / dt / 1e12:5.1f} TF/s")
 
