@@ -33,7 +33,9 @@ def main():
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--tokens", type=int, default=110)
     parser.add_argument("--repeats", type=int, default=3)
-    parser.add_argument("--quantize", default=None, choices=[None, "int8"])
+    parser.add_argument(
+        "--quantize", default=None, choices=[None, "int8", "int8+logits"]
+    )
     parser.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     parser.add_argument(
         "--kv-int8", action="store_true",
@@ -78,10 +80,10 @@ def main():
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
 
     params = init_params(dims, jax.random.PRNGKey(0), dtype)
-    if args.quantize == "int8":
+    if args.quantize:
         from whisper_tpu.quantize import quantize_params
 
-        params = quantize_params(params)
+        params = quantize_params(params, logits=args.quantize == "int8+logits")
     model = Whisper(dims, params, dtype=dtype)
 
     draft_model = None
@@ -101,6 +103,7 @@ def main():
         + (f"beam{args.beam}" if args.beam else "greedy")
         + f"_b{args.batch}"
         + ("_int8" if args.quantize == "int8" else "")
+        + ("_int8lg" if args.quantize == "int8+logits" else "")
         + ("_kvint8" if args.kv_int8 else "")
         + (f"_draft_{args.draft}{args.draft_len}" if args.draft else "")
         + ("_forceacc" if args.force_accept else "")

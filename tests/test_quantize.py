@@ -130,3 +130,36 @@ def test_quantized_decode_runs_and_is_close():
     assert isinstance(rq.tokens, list) and len(rq.tokens) > 0
     # int8 weight-only should track full precision closely on logprob scale
     assert abs(r.avg_logprob - rq.avg_logprob) < 0.2
+
+
+def test_int8_logits_projection_close():
+    """int8 logits copy: per-vocab-row error stays small vs the f32 matmul."""
+    from whisper_tpu.models.whisper import project_logits
+
+    params = init_params(DIMS, jax.random.PRNGKey(3))
+    qparams = quantize_params(params, logits=True)
+    assert is_quantized(qparams["decoder"]["logits_w"])
+    # tok_emb itself is untouched (still used for embedding lookups)
+    assert not is_quantized(qparams["decoder"]["tok_emb"])
+
+    hidden = jax.random.normal(jax.random.PRNGKey(4), (3, DIMS.n_text_state))
+    full = np.asarray(project_logits(params, hidden))
+    q8 = np.asarray(project_logits(qparams, hidden))
+    err = np.abs(full - q8).max()
+    ref = np.abs(full).max() + 1e-9
+    assert err / ref < 0.02, f"relative error {err / ref:.4f}"
+
+
+def test_int8_logits_decode_runs_and_is_close():
+    params = init_params(DIMS, jax.random.PRNGKey(1))
+    model = Whisper(DIMS, params)
+    model_q = Whisper(DIMS, quantize_params(params, logits=True))
+
+    mel = (np.random.RandomState(0).randn(80, 3000) * 0.4).astype(np.float32)
+    opts = whisper_tpu.DecodingOptions(
+        language="en", temperature=0.0, sample_len=16
+    )
+    r = model.decode(mel, opts)
+    rq = model_q.decode(mel, opts)
+    assert isinstance(rq.tokens, list) and len(rq.tokens) > 0
+    assert abs(r.avg_logprob - rq.avg_logprob) < 0.2

@@ -142,7 +142,10 @@ def load_model(
     dtype : parameter dtype; defaults to bfloat16 on TPU and float32 on CPU
         (replacing the reference's fp16, whisper/__init__.py:103-161)
     quantize : "int8" for weight-only int8 serving (see whisper_tpu.quantize);
-        None (default) keeps full-precision weights
+        "int8+logits" additionally streams an int8 copy of the tied embedding
+        in the logits projection (fastest; argmax ties can flip — validate
+        with a WER check before production use); None (default) keeps
+        full-precision weights
     """
     import jax
     import jax.numpy as jnp
@@ -195,10 +198,10 @@ def load_model(
             except OSError:
                 pass
 
-    if quantize == "int8":
+    if quantize in ("int8", "int8+logits"):
         from .quantize import quantize_params
 
-        params = quantize_params(params)
+        params = quantize_params(params, logits=quantize == "int8+logits")
     elif quantize is not None:
         raise ValueError(f"Unsupported quantize mode: {quantize!r}")
 

@@ -605,8 +605,23 @@ def _cross_step_attention_k(
 
 
 def project_logits(params: Params, hidden: jax.Array) -> jax.Array:
-    """hidden (..., C) -> logits (..., n_vocab), float32 (tied embeddings)."""
-    emb = params["decoder"]["tok_emb"]
+    """hidden (..., C) -> logits (..., n_vocab), float32 (tied embeddings).
+
+    When the params carry an int8 logits copy (``decoder["logits_w"]``,
+    see quantize.quantize_params(logits=True)), the matmul streams that
+    instead of the bf16 embedding — the int8->bf16 convert fuses into the
+    matmul's weight load, so the HBM read halves — and the per-vocab-row
+    scales ride a float32 epilogue.
+    """
+    dec = params["decoder"]
+    lw = dec.get("logits_w")
+    if lw is not None:
+        y = jnp.einsum(
+            "...c,vc->...v", hidden, lw["q"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return y * lw["s"][:, 0]
+    emb = dec["tok_emb"]
     return jnp.einsum(
         "...c,vc->...v", hidden, emb.astype(hidden.dtype),
         preferred_element_type=jnp.float32,

@@ -60,8 +60,24 @@ def quantize_kv(x: jax.Array) -> Dict[str, jax.Array]:
     return {"q": q, "s": scale}
 
 
-def quantize_params(params: Dict[str, Any], scopes=("encoder", "decoder")) -> Dict[str, Any]:
-    """Return params with matmul weights in the given scopes quantized."""
+def quantize_params(
+    params: Dict[str, Any],
+    scopes=("encoder", "decoder"),
+    *,
+    logits: bool = False,
+) -> Dict[str, Any]:
+    """Return params with matmul weights in the given scopes quantized.
+
+    ``logits=True`` additionally stores an int8 copy of the tied token
+    embedding under ``decoder["logits_w"]`` with per-vocab-row scales, which
+    :func:`whisper_tpu.models.whisper.project_logits` consumes instead of the
+    bf16 embedding — halving the largest single weight read of a decode step
+    (the n_vocab x C matrix, ~133 MB at large-v3).  The bf16 ``tok_emb``
+    stays untouched for embedding lookups.  Per-row scales mean each vocab
+    row's logit is off by at most its own rounding error (<0.4% of the row's
+    absmax), but argmax ties CAN flip — gate on a real-weights WER check
+    before making it a serving default (docs/ROADMAP.md).
+    """
 
     def walk(tree, in_scope):
         out = {}
@@ -74,7 +90,14 @@ def quantize_params(params: Dict[str, Any], scopes=("encoder", "decoder")) -> Di
                 out[key] = value
         return out
 
-    return walk(params, False)
+    out = walk(params, False)
+    if logits:
+        emb32 = params["decoder"]["tok_emb"].astype(jnp.float32)  # (V, C)
+        absmax = jnp.max(jnp.abs(emb32), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(emb32 / scale), -127, 127).astype(jnp.int8)
+        out["decoder"]["logits_w"] = {"q": q, "s": scale}
+    return out
 
 
 def quantization_error(params, quantized) -> float:
