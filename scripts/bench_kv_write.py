@@ -117,6 +117,47 @@ def main():
 
             return run
 
+        if kind.startswith("block"):
+            # deferred W-block: inner scan of W steps writes a small pending
+            # buffer; one full-cache where-flush per outer iteration (the
+            # engine analog restructures the while_loop into W-step bodies)
+            W = 8
+
+            def inner(carry, w):
+                cache, pending, acc = carry
+                a, produced = attention_read_scan(cache, w)
+                # extra attention term over the pending block (w cols valid)
+                sp = jnp.einsum("lbhd,lbhdw->lbhw", produced, pending,
+                                preferred_element_type=jnp.float32)
+                acc = acc + a + sp.sum(dtype=jnp.float32)
+                wiota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, W), 4)
+                pending = jnp.where(wiota == w, produced[..., None], pending)
+                return (cache, pending, acc), None
+
+            def outer(o, carry):
+                cache, acc = carry
+                pending = jnp.zeros((L, B, H, D, W), jnp.bfloat16)
+                (cache, pending, acc), _ = jax.lax.scan(
+                    inner, (cache, pending, acc), jnp.arange(W)
+                )
+                s0 = o * W
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, T), 4)
+                onehot = (
+                    jnp.arange(W)[:, None] + s0 == jnp.arange(T)[None, :]
+                ).astype(jnp.bfloat16)  # (W, T)
+                spread = jnp.einsum("lbhdw,wt->lbhdt", pending, onehot)
+                mask = (iota >= s0) & (iota < s0 + W)
+                cache = jnp.where(mask, spread, cache)
+                return cache, acc
+
+            @jax.jit
+            def run(cache):
+                return jax.lax.fori_loop(
+                    0, steps // 8, outer, (cache, jnp.float32(0))
+                )
+
+            return run
+
         @jax.jit
         def run(cache):
             return jax.lax.fori_loop(0, steps, body, (cache, jnp.float32(0)))
@@ -125,7 +166,7 @@ def main():
 
     for kind in ["none", "dus", "where", "scatter",
                  "scan_none", "scan_dus", "scan_dus2d", "scan_where",
-                 "scan_scatter", "merge_dus", "merge_where"]:
+                 "scan_scatter", "merge_dus", "merge_where", "block_where"]:
         run = make(kind)
         out = run(cache0)
         jax.block_until_ready(out)

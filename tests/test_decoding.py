@@ -273,3 +273,27 @@ def test_language_detection_inside_decode_with_beam(models, jfk_mel):
     res = model.decode(jfk_mel, whisper_tpu.DecodingOptions(**base))
     assert res.language == ref_res.language
     assert res.tokens == ref_res.tokens
+
+
+def test_write_block_engine_matches_per_step(models, jfk_mel):
+    """Deferred W-block self-KV writes commit bit-identical results.
+
+    sample_len=37 is not a multiple of the write block (8), so the final
+    block runs overrun steps with active=False — this asserts they leave no
+    trace in tokens, lengths, or logprob sums."""
+    from dataclasses import replace
+
+    _, _, jax_model = models
+    opts = whisper_tpu.DecodingOptions(
+        language="en", temperature=0.0, sample_len=37
+    )
+    task = whisper_tpu.decoding.DecodingTask(jax_model, opts)
+    assert task.spec.write_block == 8  # default-on for greedy
+    r_block = task.run(jfk_mel[None])[0]
+
+    task.spec = replace(task.spec, write_block=0)
+    r_step = task.run(jfk_mel[None])[0]
+
+    assert r_block.tokens == r_step.tokens
+    assert r_block.avg_logprob == r_step.avg_logprob
+    assert r_block.no_speech_prob == r_step.no_speech_prob

@@ -38,7 +38,9 @@ from .models.whisper import (
     decoder_prefill,
     decoder_step,
     decoder_step_k,
+    decoder_step_pending,
     encoder_apply,
+    flush_pending,
     init_kv_cache,
     project_logits,
 )
@@ -87,6 +89,12 @@ class EngineSpec:
     # which keeps the while-carry cache in the attention-friendly time-minor
     # layout (the scatter otherwise costs a full-cache layout copy per step)
     uniform_pos: bool = False
+    # >1: defer self-KV writes into a small pending block and flush every
+    # write_block steps (greedy + uniform_pos only).  The per-step full-cache
+    # `where` rewrite costs ~1.1 ms/step at large-v3 b16; deferring cuts that
+    # stream ~write_block x at the price of <=write_block-1 overrun steps
+    # after the stop condition fires (scripts/bench_kv_write.py, block_where)
+    write_block: int = 0
 
 
 class FilterArgs(NamedTuple):
@@ -241,12 +249,18 @@ def apply_logit_filters(
 # ---------------------------------------------------------------------------
 
 
-def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature):
+def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature,
+                   active=None):
     """GreedyDecoder.update parity (decoding.py:277-293).
 
     Per-row positions: a row whose buffer is full (t > n_ctx) is "capped" —
     its per-file decode would have stopped, so its tokens and logprob sum
     freeze (the write position is out of bounds and dropped).
+
+    ``active`` (scalar bool, write-block mode only): when False this step is
+    an overrun past the stop condition inside a W-step block — everything
+    except the step counter and the RNG key freezes, so the committed state
+    is bit-identical to the per-step engine's.
     """
     tokens, t = state.tokens, state.t
     n_ctx1 = tokens.shape[1]  # n_ctx + 1
@@ -271,9 +285,16 @@ def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature):
         next_tokens, mode="drop"
     )
     completed = jnp.all((next_tokens == spec.eot) | capped)
+    if active is not None:
+        tokens = jnp.where(active, tokens, state.tokens)
+        t = jnp.where(active, t + 1, state.t)
+        sum_logprobs = jnp.where(active, sum_logprobs, state.sum_logprobs)
+        completed = jnp.where(active, completed, state.completed)
+    else:
+        t = t + 1
     return state._replace(
         tokens=tokens,
-        t=t + 1,
+        t=t,
         step=state.step + 1,
         sum_logprobs=sum_logprobs,
         completed=completed,
@@ -520,6 +541,61 @@ def decode_engine(
         return (~s.completed) & (s.step < sample_len)
 
     t0_scalar = initial_len[0]  # uniform-position base (see EngineSpec)
+
+    use_block = (
+        spec.write_block > 1 and spec.beam_size == 0 and spec.uniform_pos
+    )
+    if use_block:
+        # deferred self-KV writes: the while body advances write_block steps
+        # with an inner scan accumulating K/V in a small pending buffer,
+        # then flushes the block into the cache once — replacing write_block
+        # full-cache rewrites with one.  Steps past the stop condition
+        # (<= write_block-1 per decode) run with active=False: selection
+        # state freezes and their pending K/V lands at positions beyond the
+        # final length, which nothing ever attends.
+        W = spec.write_block
+        L = dims.n_text_layer
+        H = dims.n_text_head
+        Dh = dims.n_text_state // H
+
+        def body(s: _LoopState):
+            block_start = t0_scalar + s.step
+            pend_k = jnp.zeros((L, B, H, Dh, W), compute_dtype)
+            pend_v = jnp.zeros((L, B, H, Dh, W), compute_dtype)
+
+            def inner(carry, w):
+                s, pk, pv = carry
+                active = (s.step < sample_len) & ~s.completed
+                filtered = apply_logit_filters(
+                    spec, s.cur_logits, s.tokens, s.t, filter_args
+                )
+                s = _greedy_update(spec, s, filtered, temperature, active=active)
+                prev_tok = jnp.take_along_axis(
+                    s.tokens, jnp.clip(s.t - 1, 0, n_ctx)[:, None], axis=1
+                )[:, 0]
+                pos = t0_scalar + s.step - 1
+                h, pk, pv = decoder_step_pending(
+                    params, dims, prev_tok, pos, block_start, w, pk, pv,
+                    s.cache, n_group=G,
+                )
+                return (s._replace(cur_logits=project_logits(params, h)), pk, pv), None
+
+            (s, pk, pv), _ = jax.lax.scan(
+                inner, (s, pend_k, pend_v), jnp.arange(W)
+            )
+            return s._replace(cache=flush_pending(s.cache, pk, pv, block_start))
+
+        state = jax.lax.while_loop(cond, body, state)
+        return EngineResult(
+            tokens=state.tokens,
+            seq_len=state.t,
+            sum_logprobs=state.sum_logprobs,
+            no_speech_probs=no_speech_probs,
+            audio_features=audio_features,
+            fin_tokens=state.fin_tokens,
+            fin_scores=state.fin_scores,
+            fin_count=state.fin_count,
+        )
 
     def body(s: _LoopState):
         filtered = apply_logit_filters(spec, s.cur_logits, s.tokens, s.t, filter_args)

@@ -448,6 +448,150 @@ def decoder_step(
     return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
 
 
+def decoder_step_pending(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B,) int32 — the tokens at position t
+    t: jax.Array,  # scalar int32 — uniform position of this step
+    block_start: jax.Array,  # scalar int32 — cache position of pending col 0
+    w: jax.Array,  # scalar int32 — this step's column in the pending block
+    pend_k: jax.Array,  # (L, B, H, D, W) — uncommitted K of the current block
+    pend_v: jax.Array,
+    cache: KVCache,
+    *,
+    n_group: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """decoder_step with deferred self-KV writes (uniform positions only).
+
+    The per-step ``where`` rewrite of the full self-KV cache streams the
+    whole buffer read+write every token — measured ~1.1 ms/step at
+    large-v3 b16, as much HBM traffic as several matmuls
+    (scripts/bench_kv_write.py).  This variant instead accumulates the
+    current W-step block's K/V in a small pending buffer: attention reads
+    the committed cache (positions < block_start), the pending columns
+    (block positions < w), and the new token's K/V; the engine flushes the
+    pending block into the cache once per W steps (flush_pending), cutting
+    the full-buffer stream by ~W.  Token selection math is unchanged —
+    scores over the same set of valid positions, grouped as
+    [cache | pending | new] instead of [cache | new].
+
+    Returns (hidden (B, C), pend_k', pend_v') — the cache itself is not
+    modified here.
+    """
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    B = tokens.shape[0]
+    n_ctx = cache.self_k.shape[-1]
+    W = pend_k.shape[-1]
+
+    dtype = dec["tok_emb"].dtype
+    tok_emb = dec["tok_emb"][tokens]  # (B, C)
+    pos_emb = dec["pos_emb"][jnp.clip(t, 0, dims.n_text_ctx - 1)]  # (C,)
+    x = (tok_emb + pos_emb).astype(dtype)[:, None, :]  # (B, 1, C)
+
+    # committed cache: positions < block_start (everything newer lives in
+    # the pending block); pending: columns < w
+    cache_mask = jnp.where(
+        jnp.arange(n_ctx)[None, None, None, :] < block_start, 0.0, NEG_INF
+    ).astype(jnp.float32)  # (1, 1, 1, n_ctx)
+    pend_mask = jnp.where(
+        jnp.arange(W)[None, None, None, :] < w, 0.0, NEG_INF
+    ).astype(jnp.float32)  # (1, 1, 1, W)
+
+    def scan_body(carry, layer):
+        p, cache_k_l, cache_v_l, pk_l, pv_l, xk_l, xv_l = layer
+        h = layer_norm(carry, p["attn_ln_g"], p["attn_ln_b"])
+        q = split_heads(_linear(h, p["q_w"], p["q_b"]), n_head)  # (B, H, 1, D)
+        k_new = split_heads(_linear(h, p["k_w"]), n_head)
+        v_new = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
+
+        d = q.shape[-1]
+        scale = d**-0.25
+        qs = q * scale
+        s_old = jnp.einsum(
+            "bhqd,bhdk->bhqk", qs, cache_k_l * scale,
+            preferred_element_type=jnp.float32,
+        ) + cache_mask
+        s_pend = jnp.einsum(
+            "bhqd,bhdk->bhqk", qs, pk_l * scale,
+            preferred_element_type=jnp.float32,
+        ) + pend_mask
+        s_new = jnp.einsum(
+            "bhqd,bhkd->bhqk", qs, k_new * scale,
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.concatenate([s_old, s_pend, s_new], axis=-1).astype(jnp.float32)
+        wts = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        attn = (
+            jnp.einsum(
+                "bhqk,bhdk->bhqd", wts[..., :n_ctx], cache_v_l,
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.einsum(
+                "bhqk,bhdk->bhqd", wts[..., n_ctx:n_ctx + W], pv_l,
+                preferred_element_type=jnp.float32,
+            )
+            + wts[..., n_ctx + W:] * v_new.astype(jnp.float32)
+        )
+        attn = attn.astype(q.dtype)
+        h2 = carry + _linear(merge_heads(attn), p["o_w"], p["o_b"])
+
+        hx = layer_norm(h2, p["xattn_ln_g"], p["xattn_ln_b"])
+        xq = split_heads(_linear(hx, p["xq_w"], p["xq_b"]), n_head)
+        xattn = _cross_step_attention(xq, xk_l, xv_l, n_head, n_group)
+        h2 = h2 + _linear(merge_heads(xattn), p["xo_w"], p["xo_b"])
+        hm = layer_norm(h2, p["mlp_ln_g"], p["mlp_ln_b"])
+        hm = _gelu(_linear(hm, p["fc1_w"], p["fc1_b"]))
+        x_out = h2 + _linear(hm, p["fc2_w"], p["fc2_b"])
+        return x_out, (k_new, v_new)
+
+    xs = (
+        dec["blocks"],
+        cache.self_k,
+        cache.self_v,
+        pend_k,
+        pend_v,
+        cache.cross_k,
+        cache.cross_v,
+    )
+    x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+
+    # stash this step's K/V in pending column w (small buffer: cheap where)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, W), 4)
+    k_col = k_new[:, :, :, 0, :, None].astype(pend_k.dtype)
+    v_col = v_new[:, :, :, 0, :, None].astype(pend_v.dtype)
+    pend_k = jnp.where(col_iota == w, k_col, pend_k)
+    pend_v = jnp.where(col_iota == w, v_col, pend_v)
+    return x[:, 0, :], pend_k, pend_v
+
+
+def flush_pending(
+    cache: KVCache, pend_k: jax.Array, pend_v: jax.Array, block_start: jax.Array
+) -> KVCache:
+    """Commit a pending W-column block into the self-KV cache.
+
+    One full-buffer masked rewrite per W steps (same one-hot-einsum + fused
+    select formulation as decoder_step_k's block write — a scatter would
+    cost a layout copy).  Columns beyond the cache capacity match nothing
+    and drop, matching decoder_step's out-of-bounds semantics.
+    """
+    n_ctx = cache.self_k.shape[-1]
+    W = pend_k.shape[-1]
+    time_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n_ctx), 4)
+    offset = time_iota - block_start
+    in_block = (offset >= 0) & (offset < W)
+    onehot = (
+        jnp.arange(W)[:, None] + block_start == jnp.arange(n_ctx)[None, :]
+    ).astype(cache.self_k.dtype)  # (W, n_ctx)
+    k_blk = jnp.einsum("lbhdw,wt->lbhdt", pend_k, onehot)
+    v_blk = jnp.einsum("lbhdw,wt->lbhdt", pend_v, onehot)
+    return cache._replace(
+        self_k=jnp.where(in_block, k_blk, cache.self_k),
+        self_v=jnp.where(in_block, v_blk, cache.self_v),
+    )
+
+
 def decoder_step_k(
     params: Params,
     dims: ModelDimensions,
