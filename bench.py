@@ -47,6 +47,11 @@ def main():
         "on synthetic 30s audio instead of the bare engine",
     )
     parser.add_argument(
+        "--word-timestamps", action="store_true",
+        help="with --e2e: include the word-timing alignment pass "
+        "(teacher-forced QK forward + median filter + DTW + word splitting)",
+    )
+    parser.add_argument(
         "--draft", default=None, choices=[None, "self", "turbo"],
         help="speculative decoding draft: 'turbo' = large-v3-turbo-shaped "
         "draft (random weights -> ~zero acceptance: the overhead floor), "
@@ -108,6 +113,7 @@ def main():
         + (f"_draft_{args.draft}{args.draft_len}" if args.draft else "")
         + ("_forceacc" if args.force_accept else "")
         + ("_e2e" if args.e2e else "")
+        + ("_words" if args.word_timestamps else "")
     )
     kv_dtype = "int8" if args.kv_int8 else None
 
@@ -127,7 +133,10 @@ def main():
             kv_cache_dtype=kv_dtype, condition_on_previous_text=False,
             compression_ratio_threshold=None, logprob_threshold=None,
             no_speech_threshold=None,
+            word_timestamps=args.word_timestamps,
         )
+        # (word timing uses Whisper's default alignment heads — the upper
+        # half of decoder layers — since random weights carry no dump)
         if draft_model is not None:
             kw["draft_model"] = draft_model
         transcribe_batch(model, audios, **kw)  # warmup/compile

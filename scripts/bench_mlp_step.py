@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--c", type=int, default=1280)
     parser.add_argument("--layers", type=int, default=32)
     parser.add_argument("--steps", type=int, default=110)
+    parser.add_argument("--bk", type=int, default=512)
     args = parser.parse_args()
 
     import jax
@@ -64,7 +65,7 @@ def main():
             else:
                 gl, bl, w1d, b1l, w2d, b2l = xs
             if kind.startswith("pallas"):
-                return mlp_fused_pallas(x, gl, bl, w1d, b1l, w2d, b2l), None
+                return mlp_fused_pallas(x, gl, bl, w1d, b1l, w2d, b2l, bk=args.bk), None
             return xla_mlp(x, gl, bl, w1d, b1l, w2d, b2l), None
 
         if quant:
@@ -72,15 +73,18 @@ def main():
         else:
             xs = (g, bb, w1, b1, w2, b2)
 
-        def step(i, x):
-            y, _ = jax.lax.scan(layer, x, xs)
-            return y
-
+        # weights travel as jit arguments, NOT closed-over constants — XLA
+        # would otherwise spend minutes embedding/folding the 840 MB of
+        # weight arrays (same pitfall as __graft_entry__.entry)
         @jax.jit
-        def run(x):
+        def run(x, xs):
+            def step(i, x):
+                y, _ = jax.lax.scan(layer, x, xs)
+                return y
+
             return jax.lax.fori_loop(0, args.steps, step, x)
 
-        return run
+        return lambda x: run(x, xs)
 
     nbytes = {True: (q1["q"].size + q2["q"].size),
               False: (w1.size + w2.size) * 2}

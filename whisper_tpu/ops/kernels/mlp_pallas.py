@@ -19,9 +19,10 @@ stream stays int8.
 
 Numerics: LayerNorm in f32 (models/whisper.layer_norm), matmul accumulation
 in f32 with one rounding to the compute dtype per matmul (matching XLA's
-einsum), exact erf GELU in f32.  Equivalence is asserted against the XLA
-path in tests/test_mlp_kernel.py; the decode engine keeps the XLA path on
-CPU and whenever the kernel's blocking doesn't fit (mlp_fused_available).
+einsum), exact-form GELU in f32 with a 1.5e-7-accurate erf (see _erf).
+Equivalence is asserted against the XLA path in tests/test_mlp_kernel.py;
+the decode engine keeps the XLA path on CPU and whenever the kernel's
+blocking doesn't fit.
 """
 
 import functools
@@ -30,6 +31,29 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """float32 erf via Abramowitz & Stegun 7.1.26 (|abs error| <= 1.5e-7).
+
+    Pallas TPU has no lowering for the erf/erfc primitives that exact GELU
+    needs (only exp/tanh); this rational-polynomial form uses exp only.
+    The 1.5e-7 absolute error is ~4 decimal orders below bf16 resolution,
+    so after the kernel's bf16 rounding the result is bit-identical to
+    XLA's erf except for values within 1e-7 of a rounding boundary.
+    """
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_erf(x):
+    """Exact-form GELU x/2*(1+erf(x/sqrt2)) on float32 (see _erf)."""
+    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _mlp_kernel(
@@ -74,7 +98,7 @@ def _mlp_kernel(
         h = h * s1_ref[...]
     # one rounding to the compute dtype per matmul, like XLA's einsum
     h = h.astype(dtype) + b1_ref[...]
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dtype)
+    h = _gelu_erf(h.astype(jnp.float32)).astype(dtype)
 
     w2 = w2_ref[...]
     if quantized:
