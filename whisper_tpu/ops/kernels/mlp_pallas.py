@@ -17,6 +17,14 @@ when the last block retires.  Weights may be int8 with per-output-channel
 scales (whisper_tpu.quantize) — dequantized on the fly in VMEM, so the HBM
 stream stays int8.
 
+STATUS — measured, not yet a win (scripts/bench_mlp_step.py, large-v3 b1
+decode shapes, v5e): 55.0-55.2 us/layer bf16 / 38.1-39.2 int8 vs XLA's
+48.2-49.2 / 31.2-31.4 (bk 512 and 1024).  XLA pipelines weight prefetch
+across the layer-*scan* while this kernel only double-buffers within one
+call, and that wins despite the launch gaps.  The engine therefore keeps
+the XLA MLP; the kernel + its equivalence tests stay as the starting point
+for whole-layer fusion (where the cross-call pipelining argument flips).
+
 Numerics: LayerNorm in f32 (models/whisper.layer_norm), matmul accumulation
 in f32 with one rounding to the compute dtype per matmul (matching XLA's
 einsum), exact-form GELU in f32 with a 1.5e-7-accurate erf (see _erf).
