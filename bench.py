@@ -36,6 +36,12 @@ def main():
     parser.add_argument(
         "--quantize", default=None, choices=[None, "int8", "int8+logits"]
     )
+    parser.add_argument(
+        "--quantize-scope", default="all", choices=["all", "decoder"],
+        help="decoder: leave encoder weights bf16.  Measured NO better than "
+        "all-int8 at b16 (278-281 vs 280-297 RTF) despite the int8 encoder "
+        "matmuls profiling slower per-op — kept for experiments",
+    )
     parser.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     parser.add_argument(
         "--kv-int8", action="store_true",
@@ -88,7 +94,10 @@ def main():
     if args.quantize:
         from whisper_tpu.quantize import quantize_params
 
-        params = quantize_params(params, logits=args.quantize == "int8+logits")
+        scopes = ("encoder", "decoder") if args.quantize_scope == "all" else ("decoder",)
+        params = quantize_params(
+            params, scopes, logits=args.quantize == "int8+logits"
+        )
     model = Whisper(dims, params, dtype=dtype)
 
     draft_model = None
@@ -109,6 +118,7 @@ def main():
         + f"_b{args.batch}"
         + ("_int8" if args.quantize == "int8" else "")
         + ("_int8lg" if args.quantize == "int8+logits" else "")
+        + ("dec" if args.quantize and args.quantize_scope == "decoder" else "")
         + ("_kvint8" if args.kv_int8 else "")
         + (f"_draft_{args.draft}{args.draft_len}" if args.draft else "")
         + ("_forceacc" if args.force_accept else "")
