@@ -1,0 +1,113 @@
+"""Batching server: request coalescing and the HTTP front-end (CPU)."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from whisper_tpu.models.dims import ModelDimensions
+from whisper_tpu.models.whisper import Whisper, init_params
+from whisper_tpu.serve import BatchingTranscriber, make_server
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_state=64,
+    n_text_head=2, n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Whisper(DIMS, init_params(DIMS, jax.random.PRNGKey(0)))
+
+
+OPTS = dict(
+    language="en", temperature=0.0, sample_len=12,
+    condition_on_previous_text=False, no_speech_threshold=None,
+    logprob_threshold=None, compression_ratio_threshold=None,
+)
+
+
+def _tone(seconds=2.0, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(int(16000 * seconds)) * 0.1).astype(np.float32)
+
+
+def test_batcher_coalesces_and_matches_direct(model):
+    from whisper_tpu.batch import transcribe_batch
+
+    audios = [_tone(seed=i) for i in range(5)]
+    with BatchingTranscriber(model, batch_size=8, max_wait_s=0.5, **OPTS) as bt:
+        futures = [bt.submit(a) for a in audios]
+        results = [f.result(timeout=300) for f in futures]
+        stats = dict(bt.stats)
+
+    direct = transcribe_batch(model, audios, batch_size=8, **OPTS)
+    assert [r["text"] for r in results] == [d["text"] for d in direct]
+    # five near-simultaneous requests must NOT become five batches
+    assert stats["requests"] == 5
+    assert stats["batches"] < 5
+
+
+def test_batcher_groups_by_options(model):
+    with BatchingTranscriber(model, batch_size=4, max_wait_s=0.2, **OPTS) as bt:
+        f1 = bt.submit(_tone(seed=1))
+        f2 = bt.submit(_tone(seed=2), temperature=0.0)  # same value, same group
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert isinstance(r1["text"], str) and isinstance(r2["text"], str)
+
+
+def test_batcher_propagates_errors(model):
+    with BatchingTranscriber(model, batch_size=2, max_wait_s=0.1, **OPTS) as bt:
+        bad = bt.submit("/nonexistent/audio.wav")
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+        assert bt.stats["errors"] >= 1
+
+
+def test_http_server_end_to_end(model):
+    from conftest import JFK
+
+    server = make_server(model, port=0, batch_size=4, max_wait_s=0.1, **OPTS)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_port
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+
+        conn.request("GET", "/healthz")
+        health = conn.getresponse()
+        assert health.status == 200
+        assert json.loads(health.read())["status"] == "ok"
+
+        with open(JFK, "rb") as f:
+            payload = f.read()
+        conn.request(
+            "POST", "/v1/audio/transcriptions?language=en", body=payload
+        )
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 200, body
+        assert set(body) == {"text", "language", "segments"}
+        assert body["language"] == "en"
+        assert len(body["segments"]) > 0
+        assert {"start", "end", "text"} <= set(body["segments"][0])
+
+        # unknown option -> 400, unknown path -> 404 (read each body fully:
+        # keep-alive pipelining requires it)
+        conn.request("POST", "/v1/audio/transcriptions?bogus=1", body=payload)
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 400
+        conn.request("POST", "/nope", body=b"x")
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 404
+        conn.close()
+    finally:
+        server.shutdown()
+        server.batcher.close(drain=False)
