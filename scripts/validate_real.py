@@ -82,6 +82,27 @@ def validate_jfk(model, name: str) -> None:
     print(f"OK {name}: jfk.flac transcript, token round-trip, word timing")
 
 
+def validate_quantized_agreement(model, qmodel, qname: str) -> None:
+    """Greedy-token agreement between full precision and the quantized model.
+
+    int8 weight/cross-KV/logits quantization is designed to be WER-neutral,
+    not token-exact; this reports how far the greedy paths actually drift on
+    a real utterance so the serving-mode decision is made on data.
+    """
+    import whisper_tpu
+
+    jfk = os.path.join(os.path.dirname(__file__), "..", "tests", "jfk.flac")
+    audio = whisper_tpu.load_audio(jfk)
+    mel = whisper_tpu.pad_or_trim(np.asarray(whisper_tpu.log_mel_spectrogram(audio)), 3000)
+    opts = whisper_tpu.DecodingOptions(temperature=0.0, language="en")
+    full = model.decode(mel, opts).tokens
+    quant = qmodel.decode(mel, opts).tokens
+    n = max(len(full), len(quant))
+    agree = sum(a == b for a, b in zip(full, quant)) / max(n, 1)
+    print(f"OK {qname}: greedy token agreement vs full precision "
+          f"{agree * 100:.1f}% ({len(full)} vs {len(quant)} tokens)")
+
+
 def validate_librispeech(model, root: str, limit: int) -> None:
     """Greedy WER over a LibriSpeech-format directory tree."""
     from whisper_tpu.evaluation import evaluate_batched
@@ -117,6 +138,13 @@ def main():
     parser.add_argument("--download-root", default=None)
     parser.add_argument("--librispeech", default=None, help="LibriSpeech dir for WER")
     parser.add_argument("--limit", type=int, default=64)
+    parser.add_argument(
+        "--quantize", default=None, choices=[None, "int8", "int8+logits"],
+        help="ALSO validate the quantized model: same jfk checks, plus "
+        "greedy-token agreement rate vs full precision, plus the WER delta "
+        "when --librispeech is given.  This is the quality gate the int8 "
+        "serving modes are documented to require (docs/ROADMAP.md)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -139,6 +167,15 @@ def main():
         validate_jfk(model, name)
         if args.librispeech:
             validate_librispeech(model, args.librispeech, args.limit)
+        if args.quantize:
+            qmodel = whisper_tpu.load_model(
+                name, download_root=args.download_root, quantize=args.quantize
+            )
+            qname = f"{name}[{args.quantize}]"
+            validate_jfk(qmodel, qname)
+            validate_quantized_agreement(model, qmodel, qname)
+            if args.librispeech:
+                validate_librispeech(qmodel, args.librispeech, args.limit)
         ran += 1
     if ran == 0:
         print("SKIP: no cached checkpoints found; nothing validated (offline?)")
