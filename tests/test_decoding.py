@@ -297,3 +297,32 @@ def test_write_block_engine_matches_per_step(models, jfk_mel):
     assert r_block.tokens == r_step.tokens
     assert r_block.avg_logprob == r_step.avg_logprob
     assert r_block.no_speech_prob == r_step.no_speech_prob
+
+
+def test_write_block_engine_matches_per_step_per_row(models, jfk_mel):
+    """Per-row (heterogeneous-prompt) block writes commit identical results."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    _, _, jax_model = models
+    opts = whisper_tpu.DecodingOptions(
+        language="en", temperature=0.0, sample_len=21
+    )
+    task = whisper_tpu.decoding.DecodingTask(jax_model, opts)
+    mels = np.stack([jfk_mel, jfk_mel * 0.7])
+    prompts = [[], [290, 291, 292]]  # different prompt lengths -> non-uniform
+
+    r_block = task.run_with_prompts(mels, prompts)
+    assert task.spec.write_block == 8
+
+    orig = task.spec
+    try:
+        task.spec = replace(task.spec, write_block=0)
+        r_step = task.run_with_prompts(mels, prompts)
+    finally:
+        task.spec = orig
+
+    for rb, rs in zip(r_block, r_step):
+        assert rb.tokens == rs.tokens
+        assert rb.avg_logprob == rs.avg_logprob

@@ -542,9 +542,7 @@ def decode_engine(
 
     t0_scalar = initial_len[0]  # uniform-position base (see EngineSpec)
 
-    use_block = (
-        spec.write_block > 1 and spec.beam_size == 0 and spec.uniform_pos
-    )
+    use_block = spec.write_block > 1 and spec.beam_size == 0
     if use_block:
         # deferred self-KV writes: the while body advances write_block steps
         # with an inner scan accumulating K/V in a small pending buffer,
@@ -552,14 +550,19 @@ def decode_engine(
         # full-cache rewrites with one.  Steps past the stop condition
         # (<= write_block-1 per decode) run with active=False: selection
         # state freezes and their pending K/V lands at positions beyond the
-        # final length, which nothing ever attends.
+        # final length, which nothing ever attends.  Positions are scalar
+        # (uniform prompts) or per-row (transcribe_batch windows with
+        # heterogeneous prompt lengths) — rows advance in lockstep either
+        # way, each at its own absolute offset.
         W = spec.write_block
         L = dims.n_text_layer
         H = dims.n_text_head
         Dh = dims.n_text_state // H
 
         def body(s: _LoopState):
-            block_start = t0_scalar + s.step
+            block_start = (
+                (t0_scalar + s.step) if spec.uniform_pos else s.t
+            )
             pend_k = jnp.zeros((L, B, H, Dh, W), compute_dtype)
             pend_v = jnp.zeros((L, B, H, Dh, W), compute_dtype)
 
@@ -573,7 +576,7 @@ def decode_engine(
                 prev_tok = jnp.take_along_axis(
                     s.tokens, jnp.clip(s.t - 1, 0, n_ctx)[:, None], axis=1
                 )[:, 0]
-                pos = t0_scalar + s.step - 1
+                pos = (t0_scalar + s.step - 1) if spec.uniform_pos else (s.t - 1)
                 h, pk, pv = decoder_step_pending(
                     params, dims, prev_tok, pos, block_start, w, pk, pv,
                     s.cache, n_group=G,

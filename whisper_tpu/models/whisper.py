@@ -452,8 +452,8 @@ def decoder_step_pending(
     params: Params,
     dims: ModelDimensions,
     tokens: jax.Array,  # (B,) int32 — the tokens at position t
-    t: jax.Array,  # scalar int32 — uniform position of this step
-    block_start: jax.Array,  # scalar int32 — cache position of pending col 0
+    t: jax.Array,  # scalar or (B,) int32 — position(s) of this step
+    block_start: jax.Array,  # scalar or (B,) i32 — cache position of pending col 0
     w: jax.Array,  # scalar int32 — this step's column in the pending block
     pend_k: jax.Array,  # (L, B, H, D, W) — uncommitted K of the current block
     pend_v: jax.Array,
@@ -461,7 +461,7 @@ def decoder_step_pending(
     *,
     n_group: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """decoder_step with deferred self-KV writes (uniform positions only).
+    """decoder_step with deferred self-KV writes.
 
     The per-step ``where`` rewrite of the full self-KV cache streams the
     whole buffer read+write every token — measured ~1.1 ms/step at
@@ -475,6 +475,11 @@ def decoder_step_pending(
     scores over the same set of valid positions, grouped as
     [cache | pending | new] instead of [cache | new].
 
+    ``t``/``block_start`` may be per-row vectors (heterogeneous prompt
+    lengths, the transcribe_batch path): rows advance in lockstep, each at
+    its own absolute offset, and pending column w holds row r's position
+    ``block_start[r] + w``.
+
     Returns (hidden (B, C), pend_k', pend_v') — the cache itself is not
     modified here.
     """
@@ -483,17 +488,21 @@ def decoder_step_pending(
     B = tokens.shape[0]
     n_ctx = cache.self_k.shape[-1]
     W = pend_k.shape[-1]
+    t_vec = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
+    bs_vec = jnp.broadcast_to(block_start, (B,)).astype(jnp.int32)
 
     dtype = dec["tok_emb"].dtype
     tok_emb = dec["tok_emb"][tokens]  # (B, C)
-    pos_emb = dec["pos_emb"][jnp.clip(t, 0, dims.n_text_ctx - 1)]  # (C,)
+    pos_emb = dec["pos_emb"][jnp.clip(t_vec, 0, dims.n_text_ctx - 1)]  # (B, C)
     x = (tok_emb + pos_emb).astype(dtype)[:, None, :]  # (B, 1, C)
 
     # committed cache: positions < block_start (everything newer lives in
     # the pending block); pending: columns < w
     cache_mask = jnp.where(
-        jnp.arange(n_ctx)[None, None, None, :] < block_start, 0.0, NEG_INF
-    ).astype(jnp.float32)  # (1, 1, 1, n_ctx)
+        jnp.arange(n_ctx)[None, None, None, :] < bs_vec[:, None, None, None],
+        0.0,
+        NEG_INF,
+    ).astype(jnp.float32)  # (B, 1, 1, n_ctx)
     pend_mask = jnp.where(
         jnp.arange(W)[None, None, None, :] < w, 0.0, NEG_INF
     ).astype(jnp.float32)  # (1, 1, 1, W)
@@ -573,19 +582,23 @@ def flush_pending(
 
     One full-buffer masked rewrite per W steps (same one-hot-einsum + fused
     select formulation as decoder_step_k's block write — a scatter would
-    cost a layout copy).  Columns beyond the cache capacity match nothing
-    and drop, matching decoder_step's out-of-bounds semantics.
+    cost a layout copy).  ``block_start`` may be scalar (uniform rows) or
+    per-row (B,).  Columns beyond the cache capacity match nothing and
+    drop, matching decoder_step's out-of-bounds semantics.
     """
     n_ctx = cache.self_k.shape[-1]
+    B = cache.self_k.shape[1]
     W = pend_k.shape[-1]
+    bs = jnp.broadcast_to(block_start, (B,)).astype(jnp.int32)
     time_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n_ctx), 4)
-    offset = time_iota - block_start
+    offset = time_iota - bs[None, :, None, None, None]
     in_block = (offset >= 0) & (offset < W)
     onehot = (
-        jnp.arange(W)[:, None] + block_start == jnp.arange(n_ctx)[None, :]
-    ).astype(cache.self_k.dtype)  # (W, n_ctx)
-    k_blk = jnp.einsum("lbhdw,wt->lbhdt", pend_k, onehot)
-    v_blk = jnp.einsum("lbhdw,wt->lbhdt", pend_v, onehot)
+        jnp.arange(W)[None, :, None] + bs[:, None, None]
+        == jnp.arange(n_ctx)[None, None, :]
+    ).astype(cache.self_k.dtype)  # (B, W, n_ctx)
+    k_blk = jnp.einsum("lbhdw,bwt->lbhdt", pend_k, onehot)
+    v_blk = jnp.einsum("lbhdw,bwt->lbhdt", pend_v, onehot)
     return cache._replace(
         self_k=jnp.where(in_block, k_blk, cache.self_k),
         self_v=jnp.where(in_block, v_blk, cache.self_v),
