@@ -71,6 +71,8 @@ def main():
         "the all-accept wall-clock ceiling (outputs are meaningless)",
     )
     args = parser.parse_args()
+    if args.word_timestamps and not args.e2e:
+        parser.error("--word-timestamps only measures anything with --e2e")
 
     import jax
     import jax.numpy as jnp
@@ -118,7 +120,7 @@ def main():
         + f"_b{args.batch}"
         + ("_int8" if args.quantize == "int8" else "")
         + ("_int8lg" if args.quantize == "int8+logits" else "")
-        + ("dec" if args.quantize and args.quantize_scope == "decoder" else "")
+        + ("_dec" if args.quantize and args.quantize_scope == "decoder" else "")
         + ("_kvint8" if args.kv_int8 else "")
         + (f"_draft_{args.draft}{args.draft_len}" if args.draft else "")
         + ("_forceacc" if args.force_accept else "")

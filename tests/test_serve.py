@@ -54,11 +54,15 @@ def test_batcher_coalesces_and_matches_direct(model):
 
 
 def test_batcher_groups_by_options(model):
-    with BatchingTranscriber(model, batch_size=4, max_wait_s=0.2, **OPTS) as bt:
+    with BatchingTranscriber(model, batch_size=4, max_wait_s=0.3, **OPTS) as bt:
         f1 = bt.submit(_tone(seed=1))
-        f2 = bt.submit(_tone(seed=2), temperature=0.0)  # same value, same group
+        # an override equal to the server default must land in the SAME
+        # group as no-override requests (no batching fragmentation)
+        f2 = bt.submit(_tone(seed=2), temperature=0.0)
         r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        stats = dict(bt.stats)
     assert isinstance(r1["text"], str) and isinstance(r2["text"], str)
+    assert stats["batches"] == 1, stats  # coalesced despite the override
 
 
 def test_batcher_propagates_errors(model):
@@ -67,6 +71,26 @@ def test_batcher_propagates_errors(model):
         with pytest.raises(Exception):
             bad.result(timeout=300)
         assert bt.stats["errors"] >= 1
+
+
+def test_bad_request_does_not_poison_the_batch(model):
+    """A failing co-batched item must not fail its neighbours."""
+    with BatchingTranscriber(model, batch_size=4, max_wait_s=0.3, **OPTS) as bt:
+        good = bt.submit(_tone(seed=3))
+        bad = bt.submit("/nonexistent/audio.wav")
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+        assert isinstance(good.result(timeout=300)["text"], str)
+
+
+def test_cancelled_future_does_not_kill_the_worker(model):
+    with BatchingTranscriber(model, batch_size=2, max_wait_s=0.2, **OPTS) as bt:
+        doomed = bt.submit(_tone(seed=4))
+        doomed.cancel()
+        # the worker must survive delivering into the cancelled future and
+        # keep serving subsequent requests
+        later = bt.submit(_tone(seed=5))
+        assert isinstance(later.result(timeout=300)["text"], str)
 
 
 def test_http_server_end_to_end(model):

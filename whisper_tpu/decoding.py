@@ -289,9 +289,9 @@ class DecodingTask:
             no_timestamps=tokenizer.no_timestamps,
             timestamp_begin=tokenizer.timestamp_begin,
             kv_int8=options.kv_cache_dtype == "int8",
-            # greedy/sampling: defer self-KV writes in 8-step blocks (the
-            # engine falls back to per-step writes for beam / non-uniform
-            # rows); committed results are identical either way
+            # greedy/sampling: defer self-KV writes in 8-step blocks, for
+            # uniform and per-row positions alike (beam keeps per-step
+            # writes); committed results are identical either way
             write_block=0 if beam else 8,
         )
 

@@ -69,6 +69,13 @@ class BatchingTranscriber:
         """Queue one audio (float32 PCM @16 kHz, or a file path) for
         transcription; returns a Future resolving to the transcribe() dict."""
         fut: Future = Future()
+        # overrides equal to the server defaults don't fragment batching:
+        # submit(x) and submit(x, temperature=T_default) share a group
+        overrides = {
+            k: v
+            for k, v in overrides.items()
+            if not (k in self.defaults and self.defaults[k] == v)
+        }
         key = tuple(sorted(overrides.items()))
         with self._cv:
             if self._closed:
@@ -87,7 +94,7 @@ class BatchingTranscriber:
     def close(self, drain: bool = True):
         """Stop the worker; with drain=True, first finish queued requests."""
         if drain:
-            while True:
+            while self._worker.is_alive():
                 with self._cv:
                     if not any(self._groups.values()):
                         break
@@ -133,31 +140,50 @@ class BatchingTranscriber:
                 ):
                     self._cv.wait(timeout=max(deadline - time.monotonic(), 0.001))
                 items = [dq.popleft() for _ in range(min(len(dq), self.batch_size))]
+                if not dq:
+                    del self._groups[key]  # drained groups don't accumulate
             if not items:
                 continue
-            audios = [a for a, _, _ in items]
-            futures = [f for _, f, _ in items]
             options = dict(self.defaults)
             options.update(dict(key))
-            try:
-                results = self._transcribe_batch(
-                    self.model, audios, batch_size=self.batch_size, **options
-                )
-                with self._cv:
-                    self.stats["batches"] += 1
-                for fut, res in zip(futures, results):
+            self._dispatch(items, options)
+
+    def _dispatch(self, items, options):
+        audios = [a for a, _, _ in items]
+        futures = [f for _, f, _ in items]
+        try:
+            results = self._transcribe_batch(
+                self.model, audios, batch_size=self.batch_size, **options
+            )
+            with self._cv:
+                self.stats["batches"] += 1
+            for fut, res in zip(futures, results):
+                try:
                     fut.set_result(res)
-            except Exception as exc:  # propagate to every caller in the batch
-                with self._cv:
-                    self.stats["errors"] += 1
-                for fut in futures:
-                    if not fut.done():
-                        fut.set_exception(exc)
+                except Exception:  # cancelled by the client — drop the result
+                    pass
+        except Exception as exc:
+            with self._cv:
+                self.stats["errors"] += 1
+            if len(items) > 1:
+                # one bad item (unreadable path, undecodable audio) must not
+                # fail its co-batched neighbours: retry each alone
+                for item in items:
+                    self._dispatch([item], options)
+            else:
+                try:
+                    futures[0].set_exception(exc)
+                except Exception:  # cancelled by the client
+                    pass
 
 
 # ---------------------------------------------------------------------------
 # HTTP front-end
 # ---------------------------------------------------------------------------
+
+# per-request ceiling for the HTTP layer; generous because first-compile of
+# a new engine shape over the TPU tunnel can take 10+ minutes
+REQUEST_TIMEOUT_S = float(os.environ.get("WHISPER_TPU_REQUEST_TIMEOUT", "1200"))
 
 _BOOL = {"true": True, "1": True, "false": False, "0": False}
 _OPTION_TYPES = {
@@ -240,7 +266,17 @@ def _make_handler(batcher: BatchingTranscriber):
                     audio = load_audio(tmp)
                 finally:
                     os.unlink(tmp)
-                result = batcher.submit(audio, **options).result()
+                # bounded wait: a wedged device must surface as an error,
+                # not as indefinitely accumulating blocked HTTP threads
+                fut = batcher.submit(audio, **options)
+                try:
+                    result = fut.result(timeout=REQUEST_TIMEOUT_S)
+                except TimeoutError:
+                    fut.cancel()
+                    self._send_json(
+                        503, {"error": "transcription timed out; server busy"}
+                    )
+                    return
             except Exception as exc:
                 self._send_json(500, {"error": f"{type(exc).__name__}: {exc}"})
                 return
