@@ -291,8 +291,14 @@ class DecodingTask:
             kv_int8=options.kv_cache_dtype == "int8",
             # greedy/sampling: defer self-KV writes in 8-step blocks, for
             # uniform and per-row positions alike (beam keeps per-step
-            # writes); committed results are identical either way
-            write_block=0 if beam else 8,
+            # writes); committed results are identical either way.  Only
+            # pays for wide decoders, where the full-cache rewrite is real
+            # HBM traffic: measured b16 large-v3 +4% and turbo +9%, but
+            # tiny -48% (the block bookkeeping's fixed cost dwarfs its
+            # small cache's write) — gate on decoder width
+            write_block=(
+                0 if beam or model.dims.n_text_state < 1024 else 8
+            ),
         )
 
     # -- option/token assembly (parity with decoding.py:572-642) -----------
