@@ -135,3 +135,37 @@ def test_http_server_end_to_end(model):
     finally:
         server.shutdown()
         server.batcher.close(drain=False)
+
+
+def test_http_timeout_returns_503(model, monkeypatch):
+    """A wedged device surfaces as 503, not an eternally blocked thread."""
+    import time as _time
+
+    import whisper_tpu.serve as serve_mod
+    from conftest import JFK
+
+    server = make_server(model, port=0, batch_size=2, max_wait_s=0.05, **OPTS)
+    monkeypatch.setattr(serve_mod, "REQUEST_TIMEOUT_S", 0.2)
+    real = server.batcher._transcribe_batch
+
+    def slow(*args, **kwargs):
+        _time.sleep(2.0)
+        return real(*args, **kwargs)
+
+    server.batcher._transcribe_batch = slow
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", server.server_port, timeout=600
+        )
+        with open(JFK, "rb") as f:
+            conn.request("POST", "/v1/audio/transcriptions", body=f.read())
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 503, body
+        assert "timed out" in body["error"]
+        conn.close()
+    finally:
+        server.shutdown()
+        server.batcher.close(drain=False)
