@@ -169,3 +169,12 @@ def test_http_timeout_returns_503(model, monkeypatch):
     finally:
         server.shutdown()
         server.batcher.close(drain=False)
+
+
+def test_list_valued_override_groups_ok(model):
+    """List-valued options (temperature ladder, clip_timestamps) must not
+    crash group-key construction at enqueue time (ADVICE r2)."""
+    opts = {k: v for k, v in OPTS.items() if k != "temperature"}
+    with BatchingTranscriber(model, batch_size=2, max_wait_s=0.2, **opts) as bt:
+        fut = bt.submit(_tone(seed=6), temperature=[0.0, 0.2])
+        assert isinstance(fut.result(timeout=300)["text"], str)

@@ -166,3 +166,17 @@ def test_transcribe_with_draft(models):
     assert [s["tokens"] for s in plain["segments"]] == [
         s["tokens"] for s in spec["segments"]
     ]
+
+
+def test_features_with_nonshared_draft_rejected(models, mel):
+    """Precomputed encoder features cannot feed a non-shared draft encoder:
+    the engine must reject the combination clearly (ADVICE r2), because the
+    draft's own encoder pass needs raw mel."""
+    target, draft, _ = models
+    feats = target.embed_audio(mel)
+    task = DecodingTask(
+        target, DecodingOptions(language="en", sample_len=4, temperature=0.0),
+        draft_model=draft,
+    )
+    with pytest.raises(ValueError, match="share_encoder"):
+        task.run(feats)

@@ -692,6 +692,13 @@ def decode_engine_speculative(
     Greedy only (temperature 0, no beam): ``spec.n_group`` must be 1.
     """
     assert spec.n_group == 1 and spec.beam_size == 0 and spec.argmax
+    if features_given and not share_encoder:
+        # the draft's own encoder needs raw mel; precomputed target features
+        # cannot feed it (shape/semantics mismatch)
+        raise ValueError(
+            "speculative decoding with precomputed encoder features requires "
+            "share_encoder=True (a non-shared draft encoder needs the raw mel)"
+        )
     n_audio = mel_or_features.shape[0]
     B = n_audio
     n_ctx = spec.ctx_len or dims.n_text_ctx

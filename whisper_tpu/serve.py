@@ -30,9 +30,22 @@ import threading
 import time
 from collections import OrderedDict, deque
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from typing import Any, Dict, List, Optional
 
 __all__ = ["BatchingTranscriber", "make_server", "serve"]
+
+
+def _freeze(v):
+    """Hashable stand-in for an option value (lists/tuples -> tuples).
+
+    Frozen values round-trip into transcribe() via dict(key): every
+    list-valued transcribe option (temperature ladder, clip_timestamps)
+    accepts a tuple equally.
+    """
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
 
 
 class BatchingTranscriber:
@@ -76,7 +89,9 @@ class BatchingTranscriber:
             for k, v in overrides.items()
             if not (k in self.defaults and self.defaults[k] == v)
         }
-        key = tuple(sorted(overrides.items()))
+        # list-valued options (temperature ladder, clip_timestamps) are
+        # unhashable; freeze them so the group key can be a dict key
+        key = tuple(sorted((k, _freeze(v)) for k, v in overrides.items()))
         with self._cv:
             if self._closed:
                 raise RuntimeError("BatchingTranscriber is closed")
@@ -271,7 +286,9 @@ def _make_handler(batcher: BatchingTranscriber):
                 fut = batcher.submit(audio, **options)
                 try:
                     result = fut.result(timeout=REQUEST_TIMEOUT_S)
-                except TimeoutError:
+                # concurrent.futures.TimeoutError is an alias of the builtin
+                # only since Python 3.11; catch both for 3.10
+                except (TimeoutError, FutureTimeoutError):
                     fut.cancel()
                     self._send_json(
                         503, {"error": "transcription timed out; server busy"}
