@@ -827,38 +827,55 @@ def decoder_forward(
         x = layer_norm(x, dec["ln_g"], dec["ln_b"])
         return project_logits(params, x), None
 
-    if want_qk:
-        heads_by_layer = [
-            [int(h) for l, h in alignment_heads if l == layer]
-            for layer in range(dims.n_text_layer)
-        ]
+    # QK capture as a layer scan (not an unrolled Python loop: compile time
+    # scales with layer count otherwise — 32 traced copies for large-v3).
+    # Head selection is data-steered inside one traced block: each layer
+    # gathers its selected heads' pre-softmax cross-attention scores and
+    # scatters them into a fixed (K, B, T, Ta) buffer at each pair's position
+    # in ``alignment_heads`` order (np.nonzero row-major — the order the
+    # reference stacks QKs in, timing.py:207).  Layers with fewer selected
+    # heads than the widest layer carry padding rows whose destination index
+    # K is out of bounds and dropped.
+    heads_arr = np.asarray(alignment_heads, np.int32).reshape(-1, 2)
+    K = heads_arr.shape[0]
+    L = dims.n_text_layer
+    Ta = audio_features.shape[1]
+    per_layer = [np.nonzero(heads_arr[:, 0] == l)[0] for l in range(L)]
+    max_h = max(1, max((len(p) for p in per_layer), default=1))
+    head_idx = np.zeros((L, max_h), np.int32)
+    dest_idx = np.full((L, max_h), K, np.int32)  # K => dropped by mode="drop"
+    for l, pos in enumerate(per_layer):
+        head_idx[l, : len(pos)] = heads_arr[pos, 1]
+        dest_idx[l, : len(pos)] = pos
 
-    # unrolled python loop: per-layer head selection is static, and this path
-    # (word timing) runs once per segment rather than once per token
-    qks = []
-    blocks = dec["blocks"]
-    for layer in range(dims.n_text_layer):
-        p = jax.tree.map(lambda a: a[layer], blocks)
+    qk_buf = jnp.zeros((K, B, T, Ta), jnp.float32)
+
+    def scan_body(carry, layer):
+        x, buf = carry
+        p, xk_l, xv_l, hidx, didx = layer
         h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
         k = split_heads(_linear(h, p["k_w"]), n_head)
         v = split_heads(_linear(h, p["v_w"], p["v_b"]), n_head)
-        x, cross_qk = _decoder_block(
-            x, p, n_head, k, v, cross_k[layer], cross_v[layer], causal,
-            return_cross_qk=want_qk and bool(heads_by_layer[layer]),
+        x_out, cross_qk = _decoder_block(
+            x, p, n_head, k, v, xk_l, xv_l, causal, return_cross_qk=True
         )
-        if want_qk and heads_by_layer[layer]:
-            qks.append(cross_qk[:, jnp.array(heads_by_layer[layer]), :, :])
+        sel = jnp.take(cross_qk, hidx, axis=1)  # (B, max_h, T, Ta) f32
+        buf = buf.at[didx].set(sel.transpose(1, 0, 2, 3), mode="drop")
+        return (x_out, buf), None
 
+    (x, qk_buf), _ = jax.lax.scan(
+        scan_body,
+        (x, qk_buf),
+        (
+            dec["blocks"],
+            cross_k,
+            cross_v,
+            jnp.asarray(head_idx),
+            jnp.asarray(dest_idx),
+        ),
+    )
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
-    logits = project_logits(params, x)
-
-    if want_qk:
-        # alignment_heads comes from np.nonzero and is therefore row-major
-        # (layer, head) sorted — the same order the reference stacks QKs in
-        # (timing.py:207); the concat below preserves it
-        stacked = jnp.concatenate(qks, axis=1)  # (B, K, T, Ta)
-        return logits, stacked.transpose(1, 0, 2, 3)
-    return logits, None
+    return project_logits(params, x), qk_buf
 
 
 def init_kv_cache(
