@@ -1,0 +1,133 @@
+"""Microbenchmark: whole-step fused Pallas kernel vs the XLA layer scan.
+
+One decode step at large-v3 decoder shapes, B=1 (the single-stream path the
+kernel exists for).  Run on the TPU (the tunnel must be free):
+
+    PYTHONUNBUFFERED=1 python scripts/bench_fused_step.py [--quantize]
+        [--kv-int8] [--ctx 256] [--iters 50]
+
+Prints ms/step for both paths.  Weights are random; only timing matters.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.models.dims import ModelDimensions
+from whisper_tpu.models.whisper import (
+    compute_cross_kv,
+    decoder_step,
+    decoder_step_fused,
+    init_kv_cache,
+    init_params,
+)
+from whisper_tpu.ops.kernels.fused_step_pallas import (
+    pack_fused_weights,
+    pad_cross_kv,
+)
+
+LARGE_V3 = ModelDimensions(
+    n_mels=128, n_audio_ctx=1500, n_audio_state=1280, n_audio_head=20,
+    n_audio_layer=32, n_vocab=51866, n_text_ctx=448, n_text_state=1280,
+    n_text_head=20, n_text_layer=32,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--ctx", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--skip-xla", action="store_true")
+    args = ap.parse_args()
+
+    dims = LARGE_V3
+    print("platform:", jax.devices()[0].platform, flush=True)
+    params = init_params(dims, jax.random.PRNGKey(0), jnp.bfloat16)
+    # the encoder is not benched; drop it to save HBM
+    params = {"encoder": {}, "decoder": params["decoder"]}
+    if args.quantize:
+        from whisper_tpu.quantize import quantize_params
+
+        params = quantize_params(params, scopes=("decoder",))
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(1, 1500, 1280) * 0.3, jnp.bfloat16)
+    xk, xv = compute_cross_kv(params, dims, feats)
+    if args.kv_int8:
+        from whisper_tpu.quantize import quantize_kv
+
+        xk_c, xv_c = quantize_kv(xk), quantize_kv(xv)
+    else:
+        xk_c, xv_c = xk, xv
+    T = args.ctx
+    # the XLA bench donates its cache (deleting the cross leaves); give it
+    # private copies so the fused inputs survive
+    cache = init_kv_cache(
+        dims, 1, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
+        jnp.bfloat16, ctx=T,
+    )
+    tokens = jnp.asarray([42], jnp.int32)
+    t = jnp.int32(16)
+
+    def bench(fn, weights, cache, label):
+        # weights/cache as jit ARGUMENTS: a closed-over params pytree makes
+        # XLA embed GBs of constants and the compile appears to hang
+        f = jax.jit(fn, donate_argnums=(1,))
+        t0 = time.perf_counter()
+        h, c = f(weights, cache)
+        jax.block_until_ready(h)
+        print(f"{label}: compile+1 {time.perf_counter() - t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            h, c = f(weights, c)
+        jax.block_until_ready(h)
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{label}: {dt:.3f} ms/step", flush=True)
+        return dt
+
+    def hbm():
+        stats = jax.devices()[0].memory_stats() or {}
+        used = stats.get("bytes_in_use", 0) / 1e9
+        print(f"hbm in use: {used:.2f} GB", flush=True)
+
+    # prepare the fused inputs BEFORE the XLA bench donates the cache (the
+    # donated cache shares the cross-KV buffers, which donation deletes)
+    pack = pack_fused_weights(params, dims)
+    xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
+    cache_fused = init_kv_cache(dims, 1, xk_c, xv_c, jnp.bfloat16, ctx=T)
+    if args.skip_xla:
+        cache = None
+    del xk, xv, xk_c, xv_c, feats
+    jax.block_until_ready((pack.w, xkp))
+    hbm()
+
+    if not args.skip_xla:
+        bench(
+            lambda p, c: decoder_step(p, dims, tokens, t, c),
+            params, cache, "xla  layer-scan",
+        )
+        hbm()
+
+    bench(
+        lambda w, c: decoder_step_fused(
+            w[0], w[1], dims, tokens, t, c, *w[2:]
+        ),
+        (params, pack, xkp, xvp, xks, xvs), cache_fused, "fused pallas   ",
+    )
+    hbm()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Whole-step fused decode kernel: parity with the XLA layer scan.
+
+The kernel (ops/kernels/fused_step_pallas.py) runs all decoder layers of
+one decode step in a single pallas_call; off-TPU it executes under the
+Pallas interpreter, so these tests exercise the REAL kernel body on CPU.
+Contract: outputs agree with models.whisper.decoder_step to compute-dtype
+rounding, and the fused engine decodes the same tokens as the XLA engine.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.decoding import DecodingOptions, DecodingTask
+from whisper_tpu.models.dims import ModelDimensions
+from whisper_tpu.models.whisper import (
+    Whisper,
+    compute_cross_kv,
+    decoder_step,
+    decoder_step_fused,
+    init_kv_cache,
+    init_params,
+)
+from whisper_tpu.ops.kernels.fused_step_pallas import (
+    pack_fused_weights,
+    pad_cross_kv,
+)
+from whisper_tpu.quantize import quantize_kv, quantize_params
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=128, n_audio_head=2,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_state=128,
+    n_text_head=2, n_text_layer=3,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(DIMS, jax.random.PRNGKey(0), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def feats():
+    rng = np.random.RandomState(0)
+    return jnp.asarray(rng.randn(1, 1500, 128) * 0.3, jnp.float32)
+
+
+@pytest.mark.parametrize("quantize,kv_int8", [
+    (False, False), (True, False), (True, True), (False, True),
+])
+def test_fused_step_matches_decoder_step(params, feats, quantize, kv_int8):
+    p = quantize_params(params, scopes=("decoder",)) if quantize else params
+    xk, xv = compute_cross_kv(p, DIMS, feats)
+    xk_c = quantize_kv(xk) if kv_int8 else xk
+    xv_c = quantize_kv(xv) if kv_int8 else xv
+
+    T, t0 = 64, 7
+    cache = init_kv_cache(DIMS, 1, xk_c, xv_c, jnp.float32, ctx=T)
+    rng = np.random.RandomState(1)
+    sk = rng.randn(*cache.self_k.shape).astype(np.float32) * 0.1
+    sk[..., t0:] = 0
+    sv = rng.randn(*cache.self_v.shape).astype(np.float32) * 0.1
+    sv[..., t0:] = 0
+    cache = cache._replace(self_k=jnp.asarray(sk), self_v=jnp.asarray(sv))
+
+    tokens = jnp.asarray([42], jnp.int32)
+    hid_ref, cache_ref = decoder_step(p, DIMS, tokens, jnp.int32(t0), cache)
+
+    pack = pack_fused_weights(p, DIMS)
+    xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
+    hid, cache_f = decoder_step_fused(
+        p, pack, DIMS, tokens, jnp.int32(t0), cache, xkp, xvp, xks, xvs
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(hid), np.asarray(hid_ref), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_f.self_k), np.asarray(cache_ref.self_k), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_f.self_v), np.asarray(cache_ref.self_v), atol=1e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def model(params):
+    return Whisper(DIMS, params)
+
+
+@pytest.fixture(scope="module")
+def mel():
+    rng = np.random.RandomState(3)
+    return jnp.asarray(rng.randn(1, 80, 3000) * 0.4, jnp.float32)
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"without_timestamps": True},
+    {"prompt": "previous context words"},
+    {"kv_cache_dtype": "int8"},
+])
+def test_fused_engine_token_parity(model, mel, kw):
+    """The fused engine decodes the same tokens as the XLA engine."""
+    base = DecodingOptions(
+        language="en", temperature=0.0, sample_len=6, **kw
+    )
+    plain = DecodingTask(
+        model, dataclasses.replace(base, fused_step=False)
+    ).run(mel)
+    fused_task = DecodingTask(model, dataclasses.replace(base, fused_step=True))
+    spec, pack = fused_task._fused_variant(fused_task.spec, 1)
+    assert spec.fused_step and pack is not None  # eligibility sanity
+    fused = fused_task.run(mel)
+    assert plain[0].tokens == fused[0].tokens
+    assert abs(plain[0].avg_logprob - fused[0].avg_logprob) < 1e-4
+
+
+def test_fused_auto_off_on_cpu(model, mel):
+    """Auto policy keeps the XLA engine off-TPU (interpreter is test-only)."""
+    task = DecodingTask(model, DecodingOptions(language="en", sample_len=2))
+    spec, pack = task._fused_variant(task.spec, 1)
+    assert not spec.fused_step and pack is None
+
+
+def test_fused_ineligible_beam(model):
+    task = DecodingTask(
+        model,
+        DecodingOptions(language="en", beam_size=2, fused_step=True, sample_len=2),
+    )
+    spec, pack = task._fused_variant(task.spec, 1)
+    assert not spec.fused_step
+
+
+def test_fused_ineligible_batch(model):
+    task = DecodingTask(
+        model, DecodingOptions(language="en", fused_step=True, sample_len=2)
+    )
+    spec, pack = task._fused_variant(task.spec, 2)
+    assert not spec.fused_step

@@ -174,6 +174,15 @@ class DecodingOptions:
     # (used only when a draft model is supplied; see DecodingTask).
     draft_len: int = 4
 
+    # TPU addition: run each decode step as ONE Pallas kernel over all
+    # decoder layers (ops/kernels/fused_step_pallas.py) — the single-stream
+    # latency path.  None = auto (on for TPU, single-audio greedy/sampling,
+    # no beams/draft/mesh); True forces it where eligible (CPU runs the
+    # kernel interpreter — slow, test-only); False always uses the XLA
+    # layer scan.  Outputs agree with the XLA engine to compute-dtype
+    # rounding (attention accumulation order differs inside the kernel).
+    fused_step: Optional[bool] = None
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -299,6 +308,14 @@ class DecodingTask:
             write_block=(
                 0 if beam or model.dims.n_text_state < 1024 else 8
             ),
+        )
+        # whole-step fused kernel eligibility (batch checked at run time)
+        self._fused_ok = (
+            beam == 0
+            and self.n_group == 1
+            and self.draft_model is None
+            and options.fused_step is not False
+            and model.dims.n_text_state % 128 == 0
         )
 
     # -- option/token assembly (parity with decoding.py:572-642) -----------
@@ -490,10 +507,11 @@ class DecodingTask:
                 force_accept=getattr(self, "_force_accept", False),
             )
         else:
+            spec, pack = self._fused_variant(self.spec, n_audio)
             result = decode_engine(
                 self.model.params,
                 self.model.dims,
-                self.spec,
+                spec,
                 mel,
                 initial_dev,
                 _dev_i32(self.sample_begin),
@@ -503,8 +521,35 @@ class DecodingTask:
                 fargs,
                 self._rng_key(),
                 features_given=features_given,
+                fused_pack=pack,
             )
         return self._assemble(result, languages, language_probs, n_audio)
+
+    def _fused_variant(self, spec, n_audio):
+        """(spec, fused_pack) with the whole-step kernel enabled if usable.
+
+        Auto policy (options.fused_step None): TPU only — elsewhere the
+        kernel would run under the Pallas interpreter.  True forces it on
+        any backend (tests).  Mesh contexts fall back to the XLA engine
+        (GSPMD cannot auto-partition a pallas_call).
+        """
+        from dataclasses import replace as dc_replace
+
+        if not (self._fused_ok and n_audio == 1):
+            return spec, None
+        from .ops.attention import ambient_mesh
+
+        if ambient_mesh() is not None:
+            return spec, None
+        if self.options.fused_step is None and jax.default_backend() != "tpu":
+            return spec, None
+        pack = getattr(self.model, "_fused_pack", None)
+        if pack is None:
+            from .ops.kernels.fused_step_pallas import pack_fused_weights
+
+            pack = pack_fused_weights(self.model.params, self.model.dims)
+            self.model._fused_pack = pack
+        return dc_replace(spec, fused_step=True, write_block=0), pack
 
     def run_with_prompts(self, mel, prompts: List[List[int]]) -> List[DecodingResult]:
         """Decode a batch where each row carries its own prompt tokens.
@@ -585,6 +630,7 @@ class DecodingTask:
                 share_encoder=self._share_encoder,
             )
         else:
+            spec, pack = self._fused_variant(spec, n_audio)
             result = decode_engine(
                 self.model.params,
                 self.model.dims,
@@ -598,6 +644,7 @@ class DecodingTask:
                 fargs,
                 self._rng_key(),
                 features_given=features_given,
+                fused_pack=pack,
             )
         languages = [self.options.language] * n_audio
         return self._assemble(

@@ -37,6 +37,7 @@ from .models.whisper import (
     compute_cross_kv,
     decoder_prefill,
     decoder_step,
+    decoder_step_fused,
     decoder_step_k,
     decoder_step_pending,
     encoder_apply,
@@ -95,6 +96,9 @@ class EngineSpec:
     # stream ~write_block x at the price of <=write_block-1 overrun steps
     # after the stop condition fires (scripts/bench_kv_write.py, block_where)
     write_block: int = 0
+    # run the decoder step as ONE Pallas kernel over all layers (B=1 greedy
+    # only; ops/kernels/fused_step_pallas.py).  Requires a fused_pack arg.
+    fused_step: bool = False
 
 
 class FilterArgs(NamedTuple):
@@ -443,12 +447,17 @@ def decode_engine(
     filter_args: FilterArgs,
     rng_key: jax.Array,
     features_given: bool = False,
+    fused_pack=None,
 ) -> EngineResult:
     """Decode one batch of 30-second segments entirely on device.
 
     Rows may have different prompt lengths: initial_len/sot_index (and
     FilterArgs.sample_begin) are per-row vectors, which is what lets
     transcribe_batch keep per-file prompt conditioning.
+
+    ``fused_pack``: packed decoder weights (fused_step_pallas.FusedPack),
+    required when ``spec.fused_step`` — the token loop then runs each step
+    as one whole-model Pallas kernel instead of the XLA layer scan.
     """
     n_audio = mel_or_features.shape[0]
     G = spec.n_group
@@ -508,6 +517,13 @@ def decode_engine(
         xk_c, xv_c = quantize_kv(xk), quantize_kv(xv)
     else:
         xk_c, xv_c = xk, xv
+    if spec.fused_step:
+        # whole-step kernel path: cross K/V stream from time-padded arrays
+        # (one cheap pad copy per segment), not from the cache pytree
+        from .ops.kernels.fused_step_pallas import pad_cross_kv
+
+        assert spec.beam_size == 0 and spec.n_group == 1 and fused_pack is not None
+        xk_pad, xv_pad, xk_s, xv_s = pad_cross_kv(xk_c, xv_c)
     cache = init_kv_cache(dims, B, xk_c, xv_c, compute_dtype, ctx=n_ctx)
     # prefill K/V arrive (L, B, H, P, D); the cache stores time-last
     cache = cache._replace(
@@ -616,7 +632,15 @@ def decode_engine(
         # scalar position when rows are uniform (scalar KV write keeps the
         # cache layout stable — see decoder_step), per-row vector otherwise
         pos = (t0_scalar + s.step - 1) if spec.uniform_pos else (s.t - 1)
-        h, cache = decoder_step(params, dims, prev_tok, pos, s.cache, n_group=G)
+        if spec.fused_step:
+            h, cache = decoder_step_fused(
+                params, fused_pack, dims, prev_tok, pos, s.cache,
+                xk_pad, xv_pad, xk_s, xv_s,
+            )
+        else:
+            h, cache = decoder_step(
+                params, dims, prev_tok, pos, s.cache, n_group=G
+            )
         return s._replace(cur_logits=project_logits(params, h), cache=cache)
 
     state = jax.lax.while_loop(cond, body, state)

@@ -413,39 +413,86 @@ def decoder_step(
     x, (k_new, v_new) = jax.lax.scan(scan_body, x, xs)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
 
-    # persist the new K/V at position t (cache is (L, B, H, D, T)).
+    cache = _write_kv_column(
+        cache, k_new[:, :, :, 0, :], v_new[:, :, :, 0, :], t
+    )
+    return x[:, 0, :], cache
+
+
+def _write_kv_column(
+    cache: KVCache,
+    k_new: jax.Array,  # (L, B, H, D)
+    v_new: jax.Array,
+    t: jax.Array,  # scalar (uniform rows) or (B,) per-row positions
+) -> KVCache:
+    """Persist one step's K/V at position t (cache is (L, B, H, D, T)).
+
+    A masked full-cache rewrite (`where` on a time iota).  Measured on v5e
+    with the cache consumed by the layer scan in the same loop body: a
+    per-row scatter drags the carry into a D-minor layout and adds a full
+    layout copy (~5 ms/step at large-v3 b16); dynamic_update_slice is never
+    done in place here (~3.4 ms/step); `where` streams the buffer once with
+    a fused select (~1.1 ms/step, scripts/bench_kv_write.py).  Out-of-range
+    t (capped rows' final unused step) matches no column and is a no-op.
+    """
+    n_ctx = cache.self_k.shape[-1]
+    time_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n_ctx), 4)
     if jnp.ndim(t) == 0:
-        # uniform position (all rows at the same t — the standard decode
-        # path): a masked full-cache rewrite (`where` on a time iota).
-        # Measured on v5e with the cache consumed by the layer scan in the
-        # same loop body: a per-row scatter drags the carry into a D-minor
-        # layout and adds a full layout copy (~5 ms/step at large-v3 b16);
-        # dynamic_update_slice is never done in place here (~3.4 ms/step);
-        # `where` streams the buffer once with a fused select (~1.1 ms/step,
-        # scripts/bench_kv_write.py).  Out-of-range t (capped rows' final
-        # unused step) matches no column and is a no-op.
-        time_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, 1, 1, n_ctx), 4
-        )
-        k_col = k_new[:, :, :, 0, :, None].astype(cache.self_k.dtype)
-        v_col = v_new[:, :, :, 0, :, None].astype(cache.self_v.dtype)
-        new_self_k = jnp.where(time_iota == t, k_col, cache.self_k)
-        new_self_v = jnp.where(time_iota == t, v_col, cache.self_v)
+        mask = time_iota == t
     else:
-        # per-row positions (heterogeneous prompt lengths, transcribe_batch;
-        # speculative draft steps): same masked full-cache rewrite as the
-        # scalar case, with a per-row column mask.  A gather/scatter here
-        # drags the while-carry into a D-minor layout and adds a full layout
-        # copy per step (~5 ms at large-v3 b16, measured) — the fused select
-        # streams the buffer once and keeps the layout.  Out-of-range rows
-        # match no column (no-op).
-        time_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, n_ctx), 4)
-        row_mask = time_iota == t_vec[None, :, None, None, None]
-        k_col = k_new[:, :, :, 0, :, None].astype(cache.self_k.dtype)
-        v_col = v_new[:, :, :, 0, :, None].astype(cache.self_v.dtype)
-        new_self_k = jnp.where(row_mask, k_col, cache.self_k)
-        new_self_v = jnp.where(row_mask, v_col, cache.self_v)
-    return x[:, 0, :], cache._replace(self_k=new_self_k, self_v=new_self_v)
+        mask = time_iota == t[None, :, None, None, None]
+    k_col = k_new[..., None].astype(cache.self_k.dtype)
+    v_col = v_new[..., None].astype(cache.self_v.dtype)
+    return cache._replace(
+        self_k=jnp.where(mask, k_col, cache.self_k),
+        self_v=jnp.where(mask, v_col, cache.self_v),
+    )
+
+
+def decoder_step_fused(
+    params: Params,
+    fused_pack,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B,) int32
+    t: jax.Array,  # scalar or (B,) int32
+    cache: KVCache,
+    xk_pad: jax.Array,  # (L, B, H, D, Ta_pad) — pad_cross_kv output
+    xv_pad: jax.Array,
+    xk_s,  # (L, B, H, D) f32 or None
+    xv_s,
+) -> Tuple[jax.Array, KVCache]:
+    """decoder_step via the whole-step Pallas kernel (B=1 greedy path).
+
+    Same signature contract as :func:`decoder_step` (embedding, all layers,
+    final LayerNorm, KV-cache column write), with the L-layer scan replaced
+    by one pallas_call (ops/kernels/fused_step_pallas.py).  Outputs agree
+    with decoder_step to compute-dtype rounding (attention accumulation
+    order differs; see the kernel's docstring).
+    """
+    from ..ops.kernels.fused_step_pallas import fused_decoder_layers
+
+    dec = params["decoder"]
+    B = tokens.shape[0]
+    H = dims.n_text_head
+    t_vec = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
+    dtype = dec["tok_emb"].dtype
+    tok_emb = dec["tok_emb"][tokens]
+    pos_emb = dec["pos_emb"][jnp.clip(t_vec, 0, dims.n_text_ctx - 1)]
+    x = (tok_emb + pos_emb).astype(dtype)
+
+    hidden, k_new, v_new = fused_decoder_layers(
+        fused_pack, dims, x, t_vec, cache.self_k, cache.self_v,
+        xk_pad, xv_pad, xk_s, xv_s,
+    )
+    hidden = layer_norm(hidden, dec["ln_g"], dec["ln_b"])
+    L, B_, C = k_new.shape
+    cache = _write_kv_column(
+        cache,
+        k_new.reshape(L, B_, H, C // H),
+        v_new.reshape(L, B_, H, C // H),
+        t,
+    )
+    return hidden, cache
 
 
 def decoder_step_pending(

@@ -1,0 +1,531 @@
+"""Whole-step fused decoder kernel: all L layers of one decode step in ONE
+``pallas_call``.
+
+Why (docs/FUSED_STEP_DESIGN.md, measured round 2): at batch 1 the decode
+step is HBM-bandwidth-bound and XLA's per-layer fusions reach only ~55-80%
+of peak with ~9 us/layer of scan-iteration gaps — no single op is worth a
+kernel; only removing the op boundaries is.  Single-op kernels (fc2
+epilogue, per-layer fused MLP) measurably LOSE to XLA because XLA pipelines
+the next layer's weight prefetch across the scan boundary
+(ops/kernels/mlp_pallas.py STATUS).  This kernel internalizes that
+pipeline: the grid is ``(layer, phase)`` and Pallas double-buffers every
+phase's HBM->VMEM block copy across all grid steps *including across
+layers*, while the residual stream and all activations stay resident in
+VMEM scratch for the whole 32-layer pass.
+
+Replaces (per step) the reference's per-layer module calls
+(``/root/reference/whisper/model.py:123-146``, hook KV cache 310-341) and
+this repo's XLA layer scan (models/whisper.decoder_step) for the
+single-stream (B=1) greedy path.  The XLA engine remains the fallback for
+batch>1, beams, CPU, and meshes.
+
+Phase layout per layer (NTA = cross-attention time chunks):
+
+====  ======================  =======================================
+c     weight tile resident    computation
+====  ======================  =======================================
+0     q_w                     ln1; q
+1     k_w                     k_new (-> output + scratch)
+2     v_w                     v_new; full self-attention
+3     o_w                     o proj + residual; ln2
+4     xq_w                    xq; init streaming-softmax state
+5..   (xq_w held)             cross-attn chunk j (online softmax)
+5+NTA xo_w                    xo proj + residual; ln3
++1..4 fc1_w col block i       fc1 slice + GELU
++5..8 fc2_w row block i       fc2 partial accumulation; last: residual
+====  ======================  =======================================
+
+Weights are packed once per model into ``(L, 14, C, C)`` tiles (int8 with
+per-output-channel scales, or the compute dtype) by
+:func:`pack_fused_weights`; biases and LayerNorm parameters ride one
+``(L, 16C)`` float32 block per layer.  Cross K/V stream in time chunks
+with flash-style online softmax; self K/V load one ``(H, D, T)`` block per
+layer.  The KV-cache column write stays OUTSIDE the kernel (it is ~20 us
+in XLA and writing it here would force a full cache copy through VMEM).
+"""
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+_TA_CHUNK = 512  # cross-attention time-chunk width (lane-aligned)
+
+# weight tile order in the packed (L, 14, C, C) buffer
+_T_Q, _T_K, _T_V, _T_O, _T_XQ, _T_XO = 0, 1, 2, 3, 4, 5
+_T_FC1 = 6  # 6..9: fc1 column blocks
+_T_FC2 = 10  # 10..13: fc2 row blocks
+_N_TILES = 14
+
+
+def pallas_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+class FusedPack(NamedTuple):
+    """Per-model packed decoder weights for the fused step kernel."""
+
+    w: jax.Array  # (L, 14, C, C) int8 or compute dtype
+    ws: jax.Array  # (L, 14, 1, C) f32 per-output-channel scales (ones if unquantized)
+    consts: jax.Array  # (L, 1, 16*C) f32 biases + LN params
+
+
+def _tile_of(leaf, dtype):
+    """(tile, scale) for one weight leaf; scale is per output channel.
+
+    Stacked quantized leaves are {"q": (L, in, out), "s": (L, 1, out)}.
+    """
+    if isinstance(leaf, dict):
+        return leaf["q"], leaf["s"][..., 0, :].astype(jnp.float32)
+    w = leaf.astype(dtype)
+    return w, jnp.ones((w.shape[-1],), jnp.float32)
+
+
+def pack_fused_weights(params: Dict[str, Any], dims) -> FusedPack:
+    """Pack stacked decoder block weights into kernel layout.
+
+    Run OUTSIDE any jit that executes per decode call — the pack is a
+    one-time per-model device copy (~0.8 GB for large-v3 int8) cached by
+    the caller.
+    """
+    blocks = params["decoder"]["blocks"]
+    C = dims.n_text_state
+    L = dims.n_text_layer
+    dtype = params["decoder"]["tok_emb"].dtype
+
+    q_w, q_s = _tile_of(blocks["q_w"], dtype)  # (L, C, C)
+    k_w, k_s = _tile_of(blocks["k_w"], dtype)
+    v_w, v_s = _tile_of(blocks["v_w"], dtype)
+    o_w, o_s = _tile_of(blocks["o_w"], dtype)
+    xq_w, xq_s = _tile_of(blocks["xq_w"], dtype)
+    xo_w, xo_s = _tile_of(blocks["xo_w"], dtype)
+    fc1_w, fc1_s = _tile_of(blocks["fc1_w"], dtype)  # (L, C, 4C), (4C,)
+    fc2_w, fc2_s = _tile_of(blocks["fc2_w"], dtype)  # (L, 4C, C), (C,)
+
+    def bcast(s, n):  # scale to (L, n) whether per-layer or shared
+        s = jnp.asarray(s)
+        if s.ndim == 1:
+            return jnp.broadcast_to(s[None], (L, n))
+        return s.reshape(L, n)
+
+    wdtype = q_w.dtype
+    tiles = [q_w, k_w, v_w, o_w, xq_w, xo_w]
+    scales = [bcast(s, C) for s in (q_s, k_s, v_s, o_s, xq_s, xo_s)]
+    for i in range(4):  # fc1 column blocks
+        tiles.append(fc1_w[:, :, i * C : (i + 1) * C])
+        scales.append(bcast(fc1_s, 4 * C)[:, i * C : (i + 1) * C])
+    for i in range(4):  # fc2 row blocks (shared output scale, applied once)
+        tiles.append(fc2_w[:, i * C : (i + 1) * C, :])
+        scales.append(bcast(fc2_s, C))
+    w = jnp.stack([t.astype(wdtype) for t in tiles], axis=1)  # (L, 14, C, C)
+    # singleton axes keep Mosaic's block-shape rule happy (the trailing two
+    # block dims must be full or (8, 128)-divisible)
+    ws = jnp.stack(scales, axis=1)[:, :, None, :]  # (L, 14, 1, C)
+
+    f32 = lambda k: blocks[k].astype(jnp.float32).reshape(L, -1)
+    consts = jnp.concatenate(
+        [
+            f32("q_b"), f32("v_b"), f32("o_b"), f32("xq_b"), f32("xo_b"),
+            f32("fc2_b"),
+            f32("attn_ln_g"), f32("attn_ln_b"),
+            f32("xattn_ln_g"), f32("xattn_ln_b"),
+            f32("mlp_ln_g"), f32("mlp_ln_b"),
+            f32("fc1_b"),
+        ],
+        axis=1,
+    )[:, None, :]  # (L, 1, 16C)
+    return FusedPack(w=w, ws=ws, consts=consts)
+
+
+def pad_cross_kv(xk, xv) -> Tuple[jax.Array, jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    """Pad cross K/V (possibly int8 dicts) to a TA_CHUNK multiple.
+
+    Input: (L, B, H, D, Ta) arrays or ``quantize_kv`` dicts.  Returns
+    (k, v, k_scale, v_scale) with time padded to ceil(Ta/512)*512; scales
+    are (L, B, H, D, 1) f32 or None when unquantized.
+    """
+
+    def split(x):
+        if isinstance(x, dict):
+            # keep the trailing unit (time) axis: the kernel consumes the
+            # scales as (H, D, 1) per-head columns
+            return x["q"], x["s"].astype(jnp.float32)
+        return x, None
+
+    xkq, xks = split(xk)
+    xvq, xvs = split(xv)
+    ta = xkq.shape[-1]
+    ta_pad = -(-ta // _TA_CHUNK) * _TA_CHUNK
+    pad = [(0, 0)] * (xkq.ndim - 1) + [(0, ta_pad - ta)]
+    return jnp.pad(xkq, pad), jnp.pad(xvq, pad), xks, xvs
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (Pallas has no erf lowering).
+
+    Max abs error ~1.5e-7 — below bf16 resolution of the GELU output.
+    """
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_f32(x):
+    return x * 0.5 * (1.0 + _erf(x * (2.0**-0.5)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dims", "interpret"),
+)
+def fused_decoder_layers(
+    pack: FusedPack,
+    dims,
+    x: jax.Array,  # (B=1, C) compute dtype — token+position embedding
+    t: jax.Array,  # (B,) i32 — this step's cache position per row
+    self_k: jax.Array,  # (L, B, H, D, T)
+    self_v: jax.Array,
+    xk: jax.Array,  # (L, B, H, D, Ta_pad) int8 or compute dtype
+    xv: jax.Array,
+    xk_s: Optional[jax.Array],  # (L, B, H, D, 1) f32 or None
+    xv_s: Optional[jax.Array],
+    *,
+    interpret: Optional[bool] = None,  # None = auto (interpreter off-TPU)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """All decoder layers of one decode step (no embedding, no final LN).
+
+    Returns (hidden (B, C) compute dtype, k_new (L, B, C), v_new (L, B, C)).
+    Numerical contract: same op/dtype sequence as models.whisper.decoder_step
+    (bf16 residual stream, f32 LN stats / attention softmax / matmul
+    accumulation), so outputs agree to bf16 rounding; accumulation order
+    inside attention differs (streaming softmax over cross-KV chunks).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = dims.n_text_layer
+    C = dims.n_text_state
+    H = dims.n_text_head
+    D = C // H
+    B = x.shape[0]
+    T = self_k.shape[-1]
+    Ta_pad = xk.shape[-1]
+    Ta = dims.n_audio_ctx
+    NTA = Ta_pad // _TA_CHUNK
+    NC = 14 + NTA  # phases/layer: q,k,v,o + xq + NTA cross + xo + 4 fc1 + 4 fc2
+    assert B == 1, "fused step kernel is the single-stream (B=1) path"
+    x_int8 = xk.dtype == jnp.int8
+    cdtype = x.dtype
+
+    if xk_s is None:
+        xk_s = jnp.ones((L, B, H, D, 1), jnp.float32)
+        xv_s = jnp.ones((L, B, H, D, 1), jnp.float32)
+
+    c_xo = 5 + NTA
+    c_fc1 = 6 + NTA
+    c_fc2 = 10 + NTA
+
+    def w_tile_index(l, c):
+        # c<=4 -> tile c | cross chunks hold xq (4) | xo -> 5 | mlp -> c-(NTA-1)-... :
+        # fc1 block i at c = c_fc1+i -> tile 6+i; fc2 block i at c_fc2+i -> 10+i
+        tile = jnp.where(
+            c <= 4, c, jnp.where(c < c_xo, 4, jnp.where(c == c_xo, 5, c - (NTA + 0)))
+        )
+        return (l, tile, 0, 0)
+
+    def cross_chunk_index(l, c):
+        j = jnp.clip(c - 5, 0, NTA - 1)
+        return (l, 0, 0, 0, j)
+
+    def kernel(
+        t_ref,  # SMEM (B,)
+        x_ref,  # (B, C) cdtype
+        w_ref,  # (1, 1, C, C)
+        ws_ref,  # (1, 1, 1, C) f32
+        consts_ref,  # (1, 1, 16C) f32
+        sk_ref,  # (1, B, H, D, T)
+        sv_ref,
+        xk_ref,  # (1, B, H, D, TA_CHUNK)
+        xv_ref,
+        xks_ref,  # (1, B, H, D, 1) f32
+        xvs_ref,
+        # outputs
+        out_ref,  # (B, C) cdtype
+        knew_ref,  # (1, B, C) cdtype
+        vnew_ref,
+        # scratch
+        xres,  # (B, C) cdtype — residual stream
+        hbuf,  # (B, C) cdtype — post-LN hidden
+        qbuf,  # (B, C) cdtype — q / xq
+        kvbuf,  # (2, B, C) cdtype — this layer's k_new/v_new
+        fbuf,  # (B, 4C) cdtype — MLP hidden
+        facc,  # (B, C) f32 — fc2 accumulation
+        mrow,  # (H, 1, 128) f32 — streaming softmax max (col 0 used)
+        lrow,  # (H, 1, 128) f32 — streaming softmax denom
+        xacc,  # (H, D, 1) f32 — streaming softmax numerator
+    ):
+        l = pl.program_id(0)
+        c = pl.program_id(1)
+        t_now = t_ref[0]
+
+        def ln(x32, off):
+            g = consts_ref[0, 0, off : off + C]
+            b = consts_ref[0, 0, off + C : off + 2 * C]
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean((x32 - mean) ** 2, axis=-1, keepdims=True)
+            return ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)) * g[None] + b[None]
+
+        def proj(h, bias_off=None):
+            """h (B, C) @ resident tile, scaled, cast, plus optional bias."""
+            y = jnp.dot(
+                h, w_ref[0, 0].astype(cdtype), preferred_element_type=jnp.float32
+            )
+            y = y * ws_ref[0, 0, 0][None]
+            y = y.astype(cdtype)
+            if bias_off is not None:
+                y = y + consts_ref[0, 0, bias_off : bias_off + C][None].astype(cdtype)
+            return y
+
+        def to_col3(row):
+            """(B=1, C) row -> (H, D, 1) per-head column (Mosaic supports
+            the transpose and the lane-preserving sublane split; a direct
+            (1, C) -> (H, D) reshape does not lower)."""
+            return row.reshape(1, C).T.reshape(H, D, 1)
+
+        def to_row(col3):
+            """(H, D, 1) -> (B=1, C) row."""
+            return col3.reshape(C, 1).T
+
+        @pl.when((l == 0) & (c == 0))
+        def _init():
+            xres[:] = x_ref[:]
+
+        @pl.when(c == 0)  # ln1 + q
+        def _q():
+            hbuf[:] = ln(xres[:].astype(jnp.float32), 6 * C).astype(cdtype)
+            qbuf[:] = proj(hbuf[:], bias_off=0)
+
+        @pl.when(c == 1)  # k_new
+        def _k():
+            k = proj(hbuf[:])
+            kvbuf[0] = k
+            knew_ref[0] = k
+
+        @pl.when(c == 2)  # v_new + full self-attention
+        def _v_attn():
+            v = proj(hbuf[:], bias_off=C)
+            kvbuf[1] = v
+            vnew_ref[0] = v
+
+            scale = D**-0.25
+            q3 = (to_col3(qbuf[:]) * scale).astype(cdtype)  # (H, D, 1)
+            kc = (sk_ref[0, 0] * scale).astype(cdtype)  # (H, D, T)
+            s_old = jnp.sum(
+                q3.astype(jnp.float32) * kc.astype(jnp.float32),
+                axis=1, keepdims=True,
+            )  # (H, 1, T) f32
+            pos_ok = (
+                jax.lax.broadcasted_iota(jnp.int32, (H, 1, T), 2) < t_now
+            )
+            s_old = jnp.where(pos_ok, s_old, NEG_INF)
+            kn3 = (to_col3(kvbuf[0]) * scale).astype(cdtype)
+            s_new = jnp.sum(
+                (q3 * kn3).astype(jnp.float32), axis=1, keepdims=True
+            )  # (H, 1, 1)
+            # joint softmax over [cache | new] without a lane-axis concat
+            m = jnp.maximum(jnp.max(s_old, axis=2, keepdims=True), s_new)
+            p_old = jnp.exp(s_old - m)  # (H, 1, T)
+            p_new = jnp.exp(s_new - m)  # (H, 1, 1)
+            denom = jnp.sum(p_old, axis=2, keepdims=True) + p_new
+            w_old = (p_old / denom).astype(cdtype)
+            w_new = p_new / denom  # (H, 1, 1) f32
+            vc = sv_ref[0, 0]  # (H, D, T)
+            attn = jnp.sum(
+                w_old.astype(jnp.float32) * vc.astype(jnp.float32),
+                axis=2, keepdims=True,
+            )  # (H, D, 1) f32
+            attn = attn + w_new * to_col3(kvbuf[1]).astype(jnp.float32)
+            hbuf[:] = to_row(attn.astype(cdtype))  # stash for o proj
+
+        @pl.when(c == 3)  # o proj + residual; ln2
+        def _o():
+            xres[:] = xres[:] + proj(hbuf[:], bias_off=2 * C)
+            hbuf[:] = ln(xres[:].astype(jnp.float32), 8 * C).astype(cdtype)
+
+        @pl.when(c == 4)  # xq; init streaming softmax
+        def _xq():
+            qbuf[:] = proj(hbuf[:], bias_off=3 * C)
+            mrow[:] = jnp.full((H, 1, 128), NEG_INF, jnp.float32)
+            lrow[:] = jnp.zeros((H, 1, 128), jnp.float32)
+            xacc[:] = jnp.zeros((H, D, 1), jnp.float32)
+
+        @pl.when((c >= 5) & (c < c_xo))  # cross-attention chunk
+        def _cross():
+            j = c - 5
+            if x_int8:
+                # fold d^-0.5 and per-channel K scales into q (as the XLA
+                # int8 cross path does, models.whisper._cross_step_attention)
+                q3 = (
+                    to_col3(qbuf[:]).astype(jnp.float32)
+                    * (D**-0.5)
+                    * xks_ref[0, 0]
+                ).astype(cdtype)  # (H, D, 1)
+                kc = xk_ref[0, 0].astype(cdtype)  # (H, D, TC)
+            else:
+                scale = D**-0.25
+                q3 = (to_col3(qbuf[:]) * scale).astype(cdtype)
+                kc = (xk_ref[0, 0] * scale).astype(cdtype)
+            s = jnp.sum(
+                q3.astype(jnp.float32) * kc.astype(jnp.float32),
+                axis=1, keepdims=True,
+            )  # (H, 1, TC) f32
+            col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, _TA_CHUNK), 2)
+            s = jnp.where(col + j * _TA_CHUNK < Ta, s, NEG_INF)
+
+            m_prev = mrow[:, :, :1]  # (H, 1, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+            corr = jnp.exp(m_prev - m_new)  # (H, 1, 1)
+            p = jnp.exp(s - m_new)  # (H, 1, TC) f32
+            vc = xv_ref[0, 0]  # (H, D, TC)
+            pv = jnp.sum(
+                p.astype(cdtype).astype(jnp.float32)
+                * vc.astype(cdtype).astype(jnp.float32),
+                axis=2, keepdims=True,
+            )  # (H, D, 1)
+            mrow[:, :, :1] = m_new
+            lrow[:, :, :1] = lrow[:, :, :1] * corr + jnp.sum(
+                p, axis=2, keepdims=True
+            )
+            xacc[:] = xacc[:] * corr + pv
+
+        @pl.when(c == c_xo)  # finish cross-attn; xo proj + residual; ln3
+        def _xo():
+            out = xacc[:] / lrow[:, :, :1]  # (H, D, 1)
+            if x_int8:
+                out = out * xvs_ref[0, 0]
+            hbuf[:] = to_row(out.astype(cdtype))
+            xres[:] = xres[:] + proj(hbuf[:], bias_off=4 * C)
+            hbuf[:] = ln(xres[:].astype(jnp.float32), 10 * C).astype(cdtype)
+
+        for i in range(4):
+
+            @pl.when(c == c_fc1 + i)  # fc1 column block + GELU
+            def _fc1(i=i):
+                y = jnp.dot(
+                    hbuf[:], w_ref[0, 0].astype(cdtype),
+                    preferred_element_type=jnp.float32,
+                )
+                y = y * ws_ref[0, 0, 0][None]
+                y = y + consts_ref[0, 0, 12 * C + i * C : 12 * C + (i + 1) * C][None]
+                fbuf[:, i * C : (i + 1) * C] = _gelu_f32(y).astype(cdtype)
+
+        for i in range(4):
+
+            @pl.when(c == c_fc2 + i)  # fc2 row block
+            def _fc2(i=i):
+                part = jnp.dot(
+                    fbuf[:, i * C : (i + 1) * C], w_ref[0, 0].astype(cdtype),
+                    preferred_element_type=jnp.float32,
+                )
+                if i == 0:
+                    facc[:] = part
+                else:
+                    facc[:] = facc[:] + part
+
+        @pl.when(c == c_fc2 + 3)  # close the layer
+        def _close():
+            y = facc[:] * ws_ref[0, 0, 0][None]
+            y = y.astype(cdtype) + consts_ref[0, 0, 5 * C : 6 * C][None].astype(cdtype)
+            xres[:] = xres[:] + y
+
+            @pl.when(l == L - 1)
+            def _final():
+                out_ref[:] = xres[:]
+
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F811
+
+    grid = (L, NC)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, C), cdtype),
+        jax.ShapeDtypeStruct((L, B, C), cdtype),
+        jax.ShapeDtypeStruct((L, B, C), cdtype),
+    )
+    kernel_call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t
+            pl.BlockSpec((B, C), lambda l, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C, C), w_tile_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1, C), lambda l, c: (*w_tile_index(l, c)[:2], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 16 * C), lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, B, H, D, T), lambda l, c: (l, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, B, H, D, T), lambda l, c: (l, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, B, H, D, _TA_CHUNK), cross_chunk_index, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, B, H, D, _TA_CHUNK), cross_chunk_index, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, B, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, B, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, C), lambda l, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, C), lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, C), lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((B, C), cdtype),  # xres
+            pltpu.VMEM((B, C), cdtype),  # hbuf
+            pltpu.VMEM((B, C), cdtype),  # qbuf
+            pltpu.VMEM((2, B, C), cdtype),  # kvbuf
+            pltpu.VMEM((B, 4 * C), cdtype),  # fbuf
+            pltpu.VMEM((B, C), jnp.float32),  # facc
+            pltpu.VMEM((H, 1, 128), jnp.float32),  # mrow
+            pltpu.VMEM((H, 1, 128), jnp.float32),  # lrow
+            pltpu.VMEM((H, D, 1), jnp.float32),  # xacc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    t_arr = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
+    hidden, k_new, v_new = kernel_call(
+        t_arr, x, pack.w, pack.ws, pack.consts, self_k, self_v, xk, xv, xk_s, xv_s
+    )
+    return hidden, k_new, v_new
