@@ -178,3 +178,108 @@ def test_list_valued_override_groups_ok(model):
     with BatchingTranscriber(model, batch_size=2, max_wait_s=0.2, **opts) as bt:
         fut = bt.submit(_tone(seed=6), temperature=[0.0, 0.2])
         assert isinstance(fut.result(timeout=300)["text"], str)
+
+
+def test_priority_lane_jumps_queue(model):
+    """A priority request overtakes normal requests queued before it."""
+    import time as _time
+
+    order = []
+    with BatchingTranscriber(model, batch_size=1, max_wait_s=0.05, **OPTS) as bt:
+        real = bt._transcribe_batch
+
+        def slow(*a, **kw):
+            _time.sleep(0.4)
+            return real(*a, **kw)
+
+        bt._transcribe_batch = slow
+        futs = {}
+        futs["n1"] = bt.submit(_tone(seed=10))
+        _time.sleep(0.1)  # n1 is now being dispatched
+        futs["n2"] = bt.submit(_tone(seed=11))
+        futs["n3"] = bt.submit(_tone(seed=12))
+        futs["prio"] = bt.submit(_tone(seed=13), priority=True)
+        for name, fut in futs.items():
+            fut.add_done_callback(lambda _, n=name: order.append(n))
+        for fut in futs.values():
+            fut.result(timeout=600)
+    assert order.index("prio") < order.index("n2"), order
+    assert order.index("prio") < order.index("n3"), order
+
+
+def test_mesh_server_matches_single_device(model):
+    """Mesh-sharded serving produces single-device-identical results
+    (virtual 8-device CPU mesh; real multi-chip hardware not exercised)."""
+    from whisper_tpu.parallel import make_mesh
+
+    audios = [_tone(seed=i) for i in range(3)]
+    with BatchingTranscriber(model, batch_size=4, max_wait_s=0.4, **OPTS) as bt:
+        plain = [f.result(timeout=600) for f in [bt.submit(a) for a in audios]]
+
+    mesh = make_mesh((2, 2))  # data x model: exercises TP sharding too
+    with BatchingTranscriber(
+        model, batch_size=4, max_wait_s=0.4, mesh=mesh, **OPTS
+    ) as bt:
+        assert bt.model is not model  # params were resharded, not mutated
+        sharded = [f.result(timeout=600) for f in [bt.submit(a) for a in audios]]
+
+    assert [r["text"] for r in plain] == [r["text"] for r in sharded]
+    assert [
+        [s["tokens"] for s in r["segments"]] for r in plain
+    ] == [[s["tokens"] for s in r["segments"]] for r in sharded]
+
+
+def test_http_streaming_response(model):
+    """?stream=true sends segments incrementally: the first NDJSON line
+    arrives well before the full transcription completes."""
+    import io
+    import time as _time
+    import wave
+
+    server = make_server(model, port=0, batch_size=4, max_wait_s=0.1, **OPTS)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        # ~70 s of audio = 3 windows; WAV so load_audio's native path reads it
+        pcm = (_tone(seconds=70.0, seed=20) * 32767 * 0.05).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        payload = buf.getvalue()
+
+        conn = http.client.HTTPConnection("127.0.0.1", server.server_port, timeout=600)
+        # warmup: the first request pays the engine compiles for every
+        # window variant; latency is only meaningful on the second
+        conn.request("POST", "/v1/audio/transcriptions?stream=true", body=payload)
+        warm = conn.getresponse()
+        warm.read()
+        t0 = _time.monotonic()
+        conn.request("POST", "/v1/audio/transcriptions?stream=true", body=payload)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/x-ndjson"
+
+        lines, t_first = [], None
+        body = b""
+        while True:
+            chunk = resp.read(1)
+            if not chunk:
+                break
+            body += chunk
+            if chunk == b"\n" and t_first is None:
+                t_first = _time.monotonic() - t0
+        t_total = _time.monotonic() - t0
+        conn.close()
+
+        lines = [json.loads(l) for l in body.decode().splitlines() if l]
+        assert lines[-1].get("done") is True
+        segments = [l for l in lines if "text" in l and "done" not in l]
+        assert len(segments) >= 2  # multiple windows streamed
+        # the whole point: first segment long before the end of the stream
+        assert t_first < 0.7 * t_total, (t_first, t_total)
+    finally:
+        server.shutdown()
+        server.batcher.close(drain=False)

@@ -49,25 +49,49 @@ def _freeze(v):
 
 
 class BatchingTranscriber:
-    """Coalesces concurrent transcription requests into device batches."""
+    """Coalesces concurrent transcription requests into device batches.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — the model's parameters are
+    resharded over it once (Megatron rules, parallel/sharding.py) and every
+    batch dispatch runs under the mesh so GSPMD shards the decode over the
+    chips.  Per-request results are identical to single-device serving
+    (validated on a virtual 8-device mesh in tests/test_serve.py; real
+    multi-chip hardware has not been exercised — docs/PARITY.md).
+
+    ``submit(..., priority=True)`` puts a request in the priority lane: it
+    is batched ahead of every queued normal request (same options group),
+    and groups with priority work are dispatched first.
+    """
 
     def __init__(
         self,
         model,
         batch_size: int = 16,
         max_wait_s: float = 0.25,
+        mesh=None,
         **transcribe_options,
     ):
         from .batch import transcribe_batch  # local import: avoid cycles
 
         self._transcribe_batch = transcribe_batch
+        self.mesh = mesh
+        if mesh is not None:
+            from .models.whisper import Whisper
+            from .parallel import shard_params
+
+            with mesh:
+                sharded = Whisper(model.dims, shard_params(model.params, mesh))
+            sharded.dtype = model.dtype
+            sharded.alignment_heads = model.alignment_heads
+            model = sharded
         self.model = model
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_s)
         self.defaults = transcribe_options
-        # option-key -> deque of (audio, future, enqueue_time); insertion
-        # order of keys approximates request order across groups
-        self._groups: "OrderedDict[tuple, deque]" = OrderedDict()
+        # option-key -> {"p": priority deque, "n": normal deque} of
+        # (audio, future, enqueue_time); key insertion order approximates
+        # request order across groups
+        self._groups: "OrderedDict[tuple, Dict[str, deque]]" = OrderedDict()
         self._cv = threading.Condition()
         self._closed = False
         self.stats: Dict[str, int] = {"requests": 0, "batches": 0, "errors": 0}
@@ -78,7 +102,7 @@ class BatchingTranscriber:
 
     # -- client API ---------------------------------------------------------
 
-    def submit(self, audio, **overrides) -> Future:
+    def submit(self, audio, priority: bool = False, **overrides) -> Future:
         """Queue one audio (float32 PCM @16 kHz, or a file path) for
         transcription; returns a Future resolving to the transcribe() dict."""
         fut: Future = Future()
@@ -95,9 +119,10 @@ class BatchingTranscriber:
         with self._cv:
             if self._closed:
                 raise RuntimeError("BatchingTranscriber is closed")
-            self._groups.setdefault(key, deque()).append(
-                (audio, fut, time.monotonic())
+            lanes = self._groups.setdefault(
+                key, {"p": deque(), "n": deque()}
             )
+            lanes["p" if priority else "n"].append((audio, fut, time.monotonic()))
             self.stats["requests"] += 1
             self._cv.notify()
         return fut
@@ -111,7 +136,10 @@ class BatchingTranscriber:
         if drain:
             while self._worker.is_alive():
                 with self._cv:
-                    if not any(self._groups.values()):
+                    if not any(
+                        lanes["p"] or lanes["n"]
+                        for lanes in self._groups.values()
+                    ):
                         break
                 time.sleep(0.01)
         with self._cv:
@@ -128,11 +156,16 @@ class BatchingTranscriber:
     # -- worker -------------------------------------------------------------
 
     def _pick_group(self):
-        """Oldest-head nonempty group, or None."""
+        """Group to serve next: oldest priority head wins over any normal."""
         best_key, best_t = None, None
-        for key, dq in self._groups.items():
-            if dq and (best_t is None or dq[0][2] < best_t):
-                best_key, best_t = key, dq[0][2]
+        for key, lanes in self._groups.items():
+            if lanes["p"] and (best_t is None or lanes["p"][0][2] < best_t):
+                best_key, best_t = key, lanes["p"][0][2]
+        if best_key is not None:
+            return best_key
+        for key, lanes in self._groups.items():
+            if lanes["n"] and (best_t is None or lanes["n"][0][2] < best_t):
+                best_key, best_t = key, lanes["n"][0][2]
         return best_key
 
     def _run(self):
@@ -144,18 +177,29 @@ class BatchingTranscriber:
                     key = self._pick_group()
                 if key is None and self._closed:
                     return
-                dq = self._groups[key]
+                lanes = self._groups[key]
+
+                def count():
+                    return len(lanes["p"]) + len(lanes["n"])
+
+                def oldest():
+                    heads = [dq[0][2] for dq in lanes.values() if dq]
+                    return min(heads)
+
                 # wait for the batch to fill, up to max_wait after the
                 # group's oldest request arrived
-                deadline = dq[0][2] + self.max_wait_s
+                deadline = oldest() + self.max_wait_s
                 while (
-                    len(dq) < self.batch_size
+                    count() < self.batch_size
                     and not self._closed
                     and time.monotonic() < deadline
                 ):
                     self._cv.wait(timeout=max(deadline - time.monotonic(), 0.001))
-                items = [dq.popleft() for _ in range(min(len(dq), self.batch_size))]
-                if not dq:
+                items = []
+                for dq in (lanes["p"], lanes["n"]):  # priority lane first
+                    while dq and len(items) < self.batch_size:
+                        items.append(dq.popleft())
+                if not (lanes["p"] or lanes["n"]):
                     del self._groups[key]  # drained groups don't accumulate
             if not items:
                 continue
@@ -164,12 +208,15 @@ class BatchingTranscriber:
             self._dispatch(items, options)
 
     def _dispatch(self, items, options):
+        import contextlib
+
         audios = [a for a, _, _ in items]
         futures = [f for _, f, _ in items]
         try:
-            results = self._transcribe_batch(
-                self.model, audios, batch_size=self.batch_size, **options
-            )
+            with (self.mesh if self.mesh is not None else contextlib.nullcontext()):
+                results = self._transcribe_batch(
+                    self.model, audios, batch_size=self.batch_size, **options
+                )
             with self._cv:
                 self.stats["batches"] += 1
             for fut, res in zip(futures, results):
@@ -224,6 +271,10 @@ def _parse_options(query: str) -> Dict[str, Any]:
 
     out: Dict[str, Any] = {}
     for k, v in parse_qsl(query):
+        # request-routing flags, not transcribe options
+        if k in ("priority", "stream"):
+            out[k] = _BOOL[v.lower()]
+            continue
         typ = _OPTION_TYPES.get(k)
         if typ is None:
             raise ValueError(f"unknown option {k!r}")
@@ -271,6 +322,8 @@ def _make_handler(batcher: BatchingTranscriber):
             if not data:
                 self._send_json(400, {"error": "empty request body"})
                 return
+            priority = bool(options.pop("priority", False))
+            stream = bool(options.pop("stream", False))
             try:
                 # the decoders are file-based (native WAV/FLAC or ffmpeg);
                 # spool the body to a temp file
@@ -281,9 +334,12 @@ def _make_handler(batcher: BatchingTranscriber):
                     audio = load_audio(tmp)
                 finally:
                     os.unlink(tmp)
+                if stream:
+                    self._stream_response(audio, options)
+                    return
                 # bounded wait: a wedged device must surface as an error,
                 # not as indefinitely accumulating blocked HTTP threads
-                fut = batcher.submit(audio, **options)
+                fut = batcher.submit(audio, priority=priority, **options)
                 try:
                     result = fut.result(timeout=REQUEST_TIMEOUT_S)
                 # concurrent.futures.TimeoutError is an alias of the builtin
@@ -314,10 +370,78 @@ def _make_handler(batcher: BatchingTranscriber):
                 },
             )
 
+        def _stream_response(self, audio, options):
+            """Chunked NDJSON response: one line per finalized segment.
+
+            Driven by StreamingTranscriber — the first 30-second window's
+            segments go out while later windows are still decoding, so
+            time-to-first-segment is far below the full-file latency on
+            long inputs (asserted in tests/test_serve.py).
+            """
+            from .streaming import StreamingTranscriber
+
+            merged = dict(batcher.defaults)
+            merged.update(options)
+            merged.pop("batch_size", None)
+            st = StreamingTranscriber(batcher.model, **merged)
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(obj):
+                body = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(body):x}\r\n".encode() + body + b"\r\n")
+                self.wfile.flush()
+
+            def emit(segments):
+                for seg in segments:
+                    write_chunk(
+                        {
+                            k: v
+                            for k, v in seg.items()
+                            if k in ("id", "start", "end", "text", "words",
+                                     "avg_logprob", "no_speech_prob")
+                        }
+                    )
+
+            try:
+                # feed in ~5 s slices so segments stream out per window
+                # instead of all at flush time
+                step = 5 * 16000
+                for off in range(0, len(audio), step):
+                    emit(st.push(audio[off : off + step]))
+                emit(st.flush())
+                final = st.result
+                write_chunk(
+                    {"done": True, "text": final["text"],
+                     "language": final["language"]}
+                )
+            except Exception as exc:
+                write_chunk({"error": f"{type(exc).__name__}: {exc}"})
+            self.wfile.write(b"0\r\n\r\n")
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
     return Handler
+
+
+def parse_mesh(spec: str):
+    """Build a Mesh from a CLI spec like "data=8" or "data=4,model=2"."""
+    from .parallel import make_mesh
+
+    sizes = {"data": 1, "model": 1}
+    for part in spec.split(","):
+        name, _, num = part.partition("=")
+        name = name.strip()
+        if name not in sizes or not num.strip().isdigit():
+            raise ValueError(
+                f"bad mesh spec {spec!r}; expected e.g. 'data=8' or 'data=4,model=2'"
+            )
+        sizes[name] = int(num)
+    return make_mesh((sizes["data"], sizes["model"]))
 
 
 def serve(
@@ -326,11 +450,13 @@ def serve(
     port: int = 9000,
     batch_size: int = 16,
     max_wait_s: float = 0.25,
+    mesh=None,
     **transcribe_options,
 ):
     """Start the HTTP server (blocking).  Returns never; raises on bind error."""
     server = make_server(
-        model, host, port, batch_size, max_wait_s, **transcribe_options
+        model, host, port, batch_size, max_wait_s, mesh=mesh,
+        **transcribe_options
     )
     print(f"whisper_tpu serving on http://{host}:{server.server_port} "
           f"(batch_size={batch_size}, max_wait={max_wait_s}s)")
@@ -346,6 +472,7 @@ def make_server(
     port: int = 0,
     batch_size: int = 16,
     max_wait_s: float = 0.25,
+    mesh=None,
     **transcribe_options,
 ):
     """Build (without starting) the ThreadingHTTPServer; port 0 = ephemeral.
@@ -357,7 +484,8 @@ def make_server(
     from http.server import ThreadingHTTPServer
 
     batcher = BatchingTranscriber(
-        model, batch_size=batch_size, max_wait_s=max_wait_s, **transcribe_options
+        model, batch_size=batch_size, max_wait_s=max_wait_s, mesh=mesh,
+        **transcribe_options
     )
     server = ThreadingHTTPServer((host, port), _make_handler(batcher))
     server.batcher = batcher
@@ -379,6 +507,12 @@ def main(argv: Optional[List[str]] = None):
     parser.add_argument(
         "--quantize", default=None, choices=[None, "int8", "int8+logits"]
     )
+    parser.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="multi-chip serving: shard the model and batches over a device "
+        "mesh, e.g. 'data=8' (pure data parallel) or 'data=4,model=2' "
+        "(tensor parallel pairs)",
+    )
     args = parser.parse_args(argv)
 
     import whisper_tpu
@@ -393,6 +527,7 @@ def main(argv: Optional[List[str]] = None):
         port=args.port,
         batch_size=args.batch_size,
         max_wait_s=args.max_wait,
+        mesh=parse_mesh(args.mesh) if args.mesh else None,
         **options,
     )
 
