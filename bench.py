@@ -4,12 +4,20 @@
 Measures the full serving path — log-mel front-end is excluded (negligible),
 the measured jit program is encoder + prompt prefill + N autoregressive
 decoder steps with logit filters, i.e. exactly what one 30-second window
-costs during `transcribe`.
+costs during `transcribe` (`--e2e` measures transcribe_batch instead).
 
 Metric: audio seconds transcribed per wall second per chip (RTF), batch of
 independent 30-second windows, large-v3 shapes, bfloat16, a fixed 110-token
 generation per window (a representative speech density; random weights don't
 emit EOT, so the token count is pinned for comparability).
+
+Default (no flags): a SUITE of the configurations the judged verdict tracks
+— b1 bf16 (fused-step kernel), b1 int8+kv-int8, b16 bf16, b16
+int8+kv-int8, beam-5 b8, e2e b16 — each timed ``--repeats`` times with
+median/min/max reported, plus an HBM-bandwidth probe before and after to
+flag noisy-neighbor contention on the shared chip.  The single JSON line
+keeps the driver contract (metric/value/unit/vs_baseline = the b16 bf16
+headline) and carries the full rows under "rows".
 
 Baseline: the reference's README (README.md:62-71) publishes only *relative*
 speeds on A100; community measurements of openai/whisper large-v3 greedy on
@@ -19,20 +27,214 @@ vs_baseline >= 8.
 """
 
 import argparse
+import gc
 import json
+import statistics
 import time
 
 import numpy as np
 
 A100_LARGE_V3_RTF = 10.0
 
+SUITE = [
+    # (row name, config)  — large-v3 unless model says otherwise
+    ("b1_bf16", dict(batch=1)),
+    ("b1_int8_kvint8", dict(batch=1, quantize="int8", kv_int8=True)),
+    ("b16_bf16", dict(batch=16)),
+    ("b16_int8_kvint8", dict(batch=16, quantize="int8", kv_int8=True)),
+    ("beam5_b8", dict(batch=8, beam=5)),
+    ("e2e_b16", dict(batch=16, e2e=True)),
+]
+HEADLINE_ROW = "b16_bf16"
+
+
+def _memory_probe_gbps():
+    """Rough HBM bandwidth probe: a large bf16 stream, best of 3."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    x = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a: a * 1.0009 + 0.1)
+    jax.block_until_ready(f(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = f(x)
+        jax.block_until_ready(y)
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * x.size * 2 / best / 1e9, 1)
+
+
+def run_config(
+    model_name=None,
+    batch=16,
+    tokens=110,
+    repeats=3,
+    quantize=None,
+    quantize_scope="all",
+    beam=0,
+    kv_int8=False,
+    e2e=False,
+    word_timestamps=False,
+    draft=None,
+    draft_len=4,
+    force_accept=False,
+):
+    """Build the model, compile, time `repeats` runs; returns (metric, [s])."""
+    import jax
+    import jax.numpy as jnp
+
+    import whisper_tpu  # noqa: F401  (attaches methods)
+    from whisper_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_tpu.models.dims import KNOWN_MODELS
+    from whisper_tpu.models.whisper import Whisper, init_params
+
+    platform = jax.devices()[0].platform
+    model_name = model_name or ("large-v3" if platform == "tpu" else "tiny")
+    dims = KNOWN_MODELS[model_name]
+    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+    params = init_params(dims, jax.random.PRNGKey(0), dtype)
+    if quantize:
+        from whisper_tpu.quantize import quantize_params
+
+        scopes = ("encoder", "decoder") if quantize_scope == "all" else ("decoder",)
+        params = quantize_params(params, scopes, logits=quantize == "int8+logits")
+    model = Whisper(dims, params, dtype=dtype)
+
+    draft_model = None
+    if draft == "self":
+        draft_model = model
+    elif draft == "turbo":
+        ddims = KNOWN_MODELS["large-v3-turbo"]
+        draft_model = Whisper(
+            ddims, init_params(ddims, jax.random.PRNGKey(1), dtype), dtype=dtype
+        )
+
+    rng = np.random.RandomState(0)
+
+    metric = (
+        f"rtf_{model_name.replace('-', '_')}_"
+        + (f"beam{beam}" if beam else "greedy")
+        + f"_b{batch}"
+        + ("_int8" if quantize == "int8" else "")
+        + ("_int8lg" if quantize == "int8+logits" else "")
+        + ("_dec" if quantize and quantize_scope == "decoder" else "")
+        + ("_kvint8" if kv_int8 else "")
+        + (f"_draft_{draft}{draft_len}" if draft else "")
+        + ("_forceacc" if force_accept else "")
+        + ("_e2e" if e2e else "")
+        + ("_words" if word_timestamps else "")
+    )
+    kv_dtype = "int8" if kv_int8 else None
+
+    if e2e:
+        # the product path: transcribe_batch on `batch` synthetic 30 s files —
+        # includes device mel, encoder, engine, host segmentation.  sample_len
+        # pinned as in the engine bench (random weights never emit EOT).
+        from whisper_tpu.batch import transcribe_batch
+
+        audios = [
+            (rng.randn(16000 * 30) * 0.1).astype(np.float32)
+            for _ in range(batch)
+        ]
+        kw = dict(
+            batch_size=batch, language="en", temperature=0.0,
+            sample_len=tokens, beam_size=beam or None,
+            kv_cache_dtype=kv_dtype, condition_on_previous_text=False,
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None,
+            word_timestamps=word_timestamps,
+        )
+        # (word timing uses Whisper's default alignment heads — the upper
+        # half of decoder layers — since random weights carry no dump)
+        if draft_model is not None:
+            kw["draft_model"] = draft_model
+        transcribe_batch(model, audios, **kw)  # warmup/compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            transcribe_batch(model, audios, **kw)
+            times.append(time.perf_counter() - t0)
+    else:
+        mel = rng.randn(batch, dims.n_mels, 3000).astype(np.float32) * 0.3
+        options = DecodingOptions(
+            language="en", task="transcribe", temperature=0.0,
+            sample_len=tokens, beam_size=beam or None,
+            kv_cache_dtype=kv_dtype, draft_len=draft_len,
+        )
+        task = DecodingTask(model, options, draft_model=draft_model)
+        if force_accept:
+            task._force_accept = True
+
+        task.run(jnp.asarray(mel))  # warmup/compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            task.run(jnp.asarray(mel))
+            times.append(time.perf_counter() - t0)
+
+    audio_seconds = batch * 30.0
+    return metric, [audio_seconds / t for t in times]
+
+
+def _row_entry(metric, rtfs):
+    med = statistics.median(rtfs)
+    return {
+        "metric": metric,
+        "median": round(med, 2),
+        "min": round(min(rtfs), 2),
+        "max": round(max(rtfs), 2),
+        "runs": len(rtfs),
+        "vs_baseline": round(med / A100_LARGE_V3_RTF, 3),
+    }
+
+
+def run_suite(repeats):
+    probe_before = _memory_probe_gbps()
+    rows = []
+    headline = None
+    for name, cfg in SUITE:
+        metric, rtfs = run_config(repeats=repeats, **cfg)
+        # the chip is shared: if the spread is wide, sample more and let the
+        # median reject the contended runs
+        if max(rtfs) > 1.25 * min(rtfs):
+            _, extra = run_config(repeats=2, **cfg)
+            rtfs = rtfs + extra
+        row = {"row": name, **_row_entry(metric, rtfs)}
+        rows.append(row)
+        if name == HEADLINE_ROW:
+            headline = row
+        gc.collect()
+    probe_after = _memory_probe_gbps()
+
+    headline = headline or rows[0]
+    print(
+        json.dumps(
+            {
+                "metric": headline["metric"],
+                "value": headline["median"],
+                "unit": "audio_sec_per_sec_per_chip",
+                "vs_baseline": headline["vs_baseline"],
+                "rows": rows,
+                "probe_gbps": {"before": probe_before, "after": probe_after},
+            }
+        )
+    )
+
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--single", action="store_true",
+        help="run ONE configuration from the flags below instead of the suite",
+    )
     parser.add_argument("--model", default=None, help="model name (default: by platform)")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--tokens", type=int, default=110)
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--repeats", type=int, default=None,
+                        help="timed runs (default: 5 suite, 3 single)")
     parser.add_argument(
         "--quantize", default=None, choices=[None, "int8", "int8+logits"]
     )
@@ -75,123 +277,43 @@ def main():
         parser.error("--word-timestamps only measures anything with --e2e")
 
     import jax
-    import jax.numpy as jnp
 
     # persistent compilation cache: first-compile of the large engines takes
     # minutes over the TPU tunnel; cached recompiles are seconds
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-    import whisper_tpu  # noqa: F401  (attaches methods)
-    from whisper_tpu.decoding import DecodingOptions, DecodingTask
-    from whisper_tpu.models.dims import KNOWN_MODELS
-    from whisper_tpu.models.whisper import Whisper, init_params
+    if not args.single:
+        run_suite(repeats=args.repeats or 5)
+        return
 
-    platform = jax.devices()[0].platform
-    model_name = args.model or ("large-v3" if platform == "tpu" else "tiny")
-    dims = KNOWN_MODELS[model_name]
-    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
-
-    params = init_params(dims, jax.random.PRNGKey(0), dtype)
-    if args.quantize:
-        from whisper_tpu.quantize import quantize_params
-
-        scopes = ("encoder", "decoder") if args.quantize_scope == "all" else ("decoder",)
-        params = quantize_params(
-            params, scopes, logits=args.quantize == "int8+logits"
-        )
-    model = Whisper(dims, params, dtype=dtype)
-
-    draft_model = None
-    if args.draft == "self":
-        draft_model = model
-    elif args.draft == "turbo":
-        ddims = KNOWN_MODELS["large-v3-turbo"]
-        draft_model = Whisper(
-            ddims, init_params(ddims, jax.random.PRNGKey(1), dtype), dtype=dtype
-        )
-
-    rng = np.random.RandomState(0)
-    mel = rng.randn(args.batch, dims.n_mels, 3000).astype(np.float32) * 0.3
-
-    metric = (
-        f"rtf_{model_name.replace('-', '_')}_"
-        + (f"beam{args.beam}" if args.beam else "greedy")
-        + f"_b{args.batch}"
-        + ("_int8" if args.quantize == "int8" else "")
-        + ("_int8lg" if args.quantize == "int8+logits" else "")
-        + ("_dec" if args.quantize and args.quantize_scope == "decoder" else "")
-        + ("_kvint8" if args.kv_int8 else "")
-        + (f"_draft_{args.draft}{args.draft_len}" if args.draft else "")
-        + ("_forceacc" if args.force_accept else "")
-        + ("_e2e" if args.e2e else "")
-        + ("_words" if args.word_timestamps else "")
+    metric, rtfs = run_config(
+        model_name=args.model,
+        batch=args.batch,
+        tokens=args.tokens,
+        repeats=args.repeats or 3,
+        quantize=args.quantize,
+        quantize_scope=args.quantize_scope,
+        beam=args.beam,
+        kv_int8=args.kv_int8,
+        e2e=args.e2e,
+        word_timestamps=args.word_timestamps,
+        draft=args.draft,
+        draft_len=args.draft_len,
+        force_accept=args.force_accept,
     )
-    kv_dtype = "int8" if args.kv_int8 else None
-
-    if args.e2e:
-        # the product path: transcribe_batch on `batch` synthetic 30 s files —
-        # includes device mel, encoder, engine, host segmentation.  sample_len
-        # pinned as in the engine bench (random weights never emit EOT).
-        from whisper_tpu.batch import transcribe_batch
-
-        audios = [
-            (rng.randn(16000 * 30) * 0.1).astype(np.float32)
-            for _ in range(args.batch)
-        ]
-        kw = dict(
-            batch_size=args.batch, language="en", temperature=0.0,
-            sample_len=args.tokens, beam_size=args.beam or None,
-            kv_cache_dtype=kv_dtype, condition_on_previous_text=False,
-            compression_ratio_threshold=None, logprob_threshold=None,
-            no_speech_threshold=None,
-            word_timestamps=args.word_timestamps,
-        )
-        # (word timing uses Whisper's default alignment heads — the upper
-        # half of decoder layers — since random weights carry no dump)
-        if draft_model is not None:
-            kw["draft_model"] = draft_model
-        transcribe_batch(model, audios, **kw)  # warmup/compile
-        times = []
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            results = transcribe_batch(model, audios, **kw)
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-        audio_seconds = args.batch * 30.0
-    else:
-        options = DecodingOptions(
-            language="en", task="transcribe", temperature=0.0,
-            sample_len=args.tokens, beam_size=args.beam or None,
-            kv_cache_dtype=kv_dtype, draft_len=args.draft_len,
-        )
-        task = DecodingTask(model, options, draft_model=draft_model)
-        if args.force_accept:
-            task._force_accept = True
-
-        # warmup/compile
-        task.run(jnp.asarray(mel))
-
-        times = []
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            results = task.run(jnp.asarray(mel))
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-        audio_seconds = args.batch * 30.0
-
-    rtf = audio_seconds / best
+    best = max(rtfs)
     print(
         json.dumps(
             {
                 "metric": metric,
-                "value": round(rtf, 2),
+                "value": round(best, 2),
                 "unit": "audio_sec_per_sec_per_chip",
-                "vs_baseline": round(rtf / A100_LARGE_V3_RTF, 3),
+                "vs_baseline": round(best / A100_LARGE_V3_RTF, 3),
+                **_row_entry(metric, rtfs),
             }
         )
     )
-    return results
 
 
 if __name__ == "__main__":
