@@ -82,6 +82,69 @@ def validate_jfk(model, name: str) -> None:
     print(f"OK {name}: jfk.flac transcript, token round-trip, word timing")
 
 
+def validate_translate_beam(model, name: str) -> None:
+    """BASELINE config #2: language detection + translate with beam_size=5.
+
+    jfk.flac is English speech, so the X->English translation must contain
+    the same key phrases; the value of the check is that it exercises the
+    beam-5 engine (fixed-shape top-k, patience buffer, cross-KV dedup) and
+    detect_language on real weights.
+    """
+    import whisper_tpu
+
+    if not model.is_multilingual:
+        print(f"SKIP {name}: translate needs a multilingual checkpoint")
+        return
+    jfk = os.path.join(os.path.dirname(__file__), "..", "tests", "jfk.flac")
+    audio = whisper_tpu.load_audio(jfk)
+    mel = whisper_tpu.pad_or_trim(
+        np.asarray(whisper_tpu.log_mel_spectrogram(audio, model.dims.n_mels)), 3000
+    )
+    _, probs = model.detect_language(mel)
+    lang = max(probs, key=probs.get)
+    assert lang == "en", f"{name}: detected {lang}, expected en"
+
+    result = model.transcribe(
+        jfk, task="translate", beam_size=5, temperature=0.0
+    )
+    text = result["text"].lower()
+    assert "americans" in text and "country" in text, (
+        f"{name}: beam-5 translate missing key phrases: {text!r}"
+    )
+    print(f"OK {name}: detect_language=en, beam-5 translate key phrases")
+
+
+def validate_longform(model, name: str, audio_path: str = None) -> None:
+    """BASELINE config #3: long-form sliding-window transcription.
+
+    data/meanwhile.json references YouTube audio this offline environment
+    cannot fetch; pass ``--longform-audio`` for a real long recording, or
+    the check tiles jfk.flac to ~44 s so the >1-window path (seek advance,
+    prompt conditioning, temperature ladder) still runs on real weights.
+    """
+    import whisper_tpu
+
+    if audio_path:
+        audio = whisper_tpu.load_audio(audio_path)
+        expect_repeats = 1
+    else:
+        jfk = os.path.join(os.path.dirname(__file__), "..", "tests", "jfk.flac")
+        one = whisper_tpu.load_audio(jfk)
+        audio = np.concatenate([one] * 4)
+        expect_repeats = 3  # phrase appears once per tile; require most
+    result = model.transcribe(audio, temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0))
+    segs = result["segments"]
+    assert len(segs) >= 2, f"{name}: long-form produced {len(segs)} segments"
+    last_end = max(s["end"] for s in segs)
+    assert last_end > 31.0, f"{name}: window never advanced past 30 s ({last_end})"
+    count = result["text"].lower().count("fellow americans")
+    assert count >= expect_repeats, (
+        f"{name}: expected >= {expect_repeats} phrase repeats, got {count}"
+    )
+    print(f"OK {name}: long-form {last_end:.0f}s, {len(segs)} segments, "
+          f"{count} phrase repeats")
+
+
 def validate_quantized_agreement(model, qmodel, qname: str) -> None:
     """Greedy-token agreement between full precision and the quantized model.
 
@@ -137,6 +200,11 @@ def main():
     parser.add_argument("--all", action="store_true", help="validate every cached model")
     parser.add_argument("--download-root", default=None)
     parser.add_argument("--librispeech", default=None, help="LibriSpeech dir for WER")
+    parser.add_argument(
+        "--longform-audio", default=None,
+        help="a long (>60 s) recording for the sliding-window check; "
+        "defaults to tiling jfk.flac to ~44 s",
+    )
     parser.add_argument("--limit", type=int, default=64)
     parser.add_argument(
         "--quantize", default=None, choices=[None, "int8", "int8+logits"],
@@ -164,7 +232,9 @@ def main():
             print(f"SKIP {name}: no cached checkpoint under {download_root}")
             continue
         model = whisper_tpu.load_model(name, download_root=args.download_root)
-        validate_jfk(model, name)
+        validate_jfk(model, name)  # config #1/#4: transcript + word timing
+        validate_translate_beam(model, name)  # config #2
+        validate_longform(model, name, args.longform_audio)  # config #3
         if args.librispeech:
             validate_librispeech(model, args.librispeech, args.limit)
         if args.quantize:
