@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--ctx", type=int, default=256)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="verify kernel output vs the XLA scan on this device")
     args = ap.parse_args()
 
     dims = LARGE_V3
@@ -107,11 +109,26 @@ def main():
     pack = pack_fused_weights(params, dims)
     xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
     cache_fused = init_kv_cache(dims, 1, xk_c, xv_c, jnp.bfloat16, ctx=T)
-    if args.skip_xla:
+    if args.skip_xla and not args.check:
         cache = None
     del xk, xv, xk_c, xv_c, feats
     jax.block_until_ready((pack.w, xkp))
     hbm()
+
+    if args.check:
+        # one-step output agreement, kernel vs XLA scan, ON the TPU (the
+        # CPU tests exercise the interpreter, not the Mosaic lowering)
+        h_ref, _ = jax.jit(lambda p, c: decoder_step(p, dims, tokens, t, c))(
+            params, cache
+        )
+        h_fus, _ = jax.jit(
+            lambda p, w, c: decoder_step_fused(
+                p, w[0], dims, tokens, t, c, *w[1:]
+            )
+        )(params, (pack, xkp, xvp, xks, xvs), cache_fused)
+        d = float(jnp.max(jnp.abs(h_fus.astype(jnp.float32) - h_ref.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(h_ref.astype(jnp.float32))))
+        print(f"TPU output check: maxdiff {d:.4g} (scale {scale:.3g})", flush=True)
 
     if not args.skip_xla:
         bench(

@@ -138,14 +138,33 @@ def transcribe_batch(
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     clip_timestamps: Union[str, List[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
+    stage_timer=None,
     **decode_options,
 ) -> List[dict]:
-    """Transcribe many files concurrently; returns one result dict per file."""
+    """Transcribe many files concurrently; returns one result dict per file.
+
+    ``stage_timer``: optional :class:`whisper_tpu.profiling.StageTimer`; when
+    given, wall time is attributed to audio_host / mel / window_slice /
+    engine / segment / alignment stages (device work is synced at stage
+    boundaries, which slightly reduces pipelining — profiling only).
+    """
     if decode_options.pop("prompt", None):
         raise NotImplementedError(
             "transcribe_batch manages prompts per file; use transcribe() for a "
             "fixed decode-level prompt"
         )
+
+    import contextlib
+
+    def _st(name):
+        return stage_timer.stage(name) if stage_timer is not None else (
+            contextlib.nullcontext()
+        )
+
+    def _sync(x):
+        if stage_timer is not None:
+            jax.block_until_ready(x)
+        return x
 
     temperatures = (
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
@@ -158,17 +177,19 @@ def transcribe_batch(
     # row's extra tail (beyond its own length + the 30 s zero padding) is pure
     # silence that never raises its max — while every decode window only ever
     # reads frames inside the row's true region.
-    arrs = [
-        load_audio(a) if isinstance(a, str) else np.asarray(a, np.float32).reshape(-1)
-        for a in audios
-    ]
-    lens = [a.shape[0] for a in arrs]
-    buf = np.zeros((len(arrs), max(lens) if lens else 0), np.float32)
-    for i, a in enumerate(arrs):
-        buf[i, : a.shape[0]] = a
-    mels_dev = log_mel_spectrogram(
-        jax.device_put(buf), model.dims.n_mels, padding=N_SAMPLES
-    )
+    with _st("audio_host"):
+        arrs = [
+            load_audio(a) if isinstance(a, str) else np.asarray(a, np.float32).reshape(-1)
+            for a in audios
+        ]
+        lens = [a.shape[0] for a in arrs]
+        buf = np.zeros((len(arrs), max(lens) if lens else 0), np.float32)
+        for i, a in enumerate(arrs):
+            buf[i, : a.shape[0]] = a
+    with _st("mel"):
+        mels_dev = _sync(log_mel_spectrogram(
+            jax.device_put(buf), model.dims.n_mels, padding=N_SAMPLES
+        ))
 
     states = [
         _FileState(
@@ -269,7 +290,8 @@ def transcribe_batch(
         while active:
             rows = active[:batch_size]
             sizes = [states[i].window_size() for i in rows]
-            wins_dev = slice_windows(rows, batch_size)  # (batch, n_mels, 3000)
+            with _st("window_slice"):
+                wins_dev = _sync(slice_windows(rows, batch_size))
 
             # per-file prompt: everything accepted since the last reset
             # (transcribe's condition_on_previous_text semantics)
@@ -280,7 +302,8 @@ def transcribe_batch(
             # already passed the gates keep their earlier result
             results = [None] * len(rows)
             for t in temperatures:
-                batch_results = get_task(t).run_with_prompts(wins_dev, prompts)
+                with _st("engine"):
+                    batch_results = get_task(t).run_with_prompts(wins_dev, prompts)
                 any_pending = False
                 for j in range(len(rows)):
                     if results[j] is not None:
@@ -299,6 +322,8 @@ def transcribe_batch(
                     break
 
             # phase 1: per-file segmentation and seek advance
+            seg_ctx = _st("segment")
+            seg_ctx.__enter__()
             pending = []  # rows that produced segments this round
             for j, i in enumerate(rows):
                 st = states[i]
@@ -340,9 +365,13 @@ def transcribe_batch(
                     )
                 )
 
+            seg_ctx.__exit__(None, None, None)
+
             # phase 2 (word timestamps): one batched alignment program for all
             # files that produced text this round
             if word_timestamps and pending:
+                align_ctx = _st("alignment")
+                align_ctx.__enter__()
                 from .timing import add_word_timestamps, find_alignment_batch
 
                 text_tokens = [
@@ -416,6 +445,7 @@ def transcribe_batch(
                     last_word_end = get_end(p["segments"])
                     if last_word_end is not None:
                         st.last_speech_timestamp = last_word_end
+                align_ctx.__exit__(None, None, None)
 
             # phase 3: commit segments and tokens per file
             for p in pending:

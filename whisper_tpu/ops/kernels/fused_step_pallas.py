@@ -377,6 +377,8 @@ def fused_decoder_layers(
         @pl.when((c >= 5) & (c < c_xo))  # cross-attention chunk
         def _cross():
             j = c - 5
+            # int8 K/V convert straight to f32 — int8 values are exact in
+            # both bf16 and f32, and Mosaic lacks a 3D int8->bf16 cast
             if x_int8:
                 # fold d^-0.5 and per-channel K scales into q (as the XLA
                 # int8 cross path does, models.whisper._cross_step_attention)
@@ -385,13 +387,13 @@ def fused_decoder_layers(
                     * (D**-0.5)
                     * xks_ref[0, 0]
                 ).astype(cdtype)  # (H, D, 1)
-                kc = xk_ref[0, 0].astype(cdtype)  # (H, D, TC)
+                kc32 = xk_ref[0, 0].astype(jnp.float32)  # (H, D, TC)
             else:
                 scale = D**-0.25
                 q3 = (to_col3(qbuf[:]) * scale).astype(cdtype)
-                kc = (xk_ref[0, 0] * scale).astype(cdtype)
+                kc32 = (xk_ref[0, 0] * scale).astype(cdtype).astype(jnp.float32)
             s = jnp.sum(
-                q3.astype(jnp.float32) * kc.astype(jnp.float32),
+                q3.astype(jnp.float32) * kc32,
                 axis=1, keepdims=True,
             )  # (H, 1, TC) f32
             col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, _TA_CHUNK), 2)
@@ -401,10 +403,9 @@ def fused_decoder_layers(
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
             corr = jnp.exp(m_prev - m_new)  # (H, 1, 1)
             p = jnp.exp(s - m_new)  # (H, 1, TC) f32
-            vc = xv_ref[0, 0]  # (H, D, TC)
+            vc32 = xv_ref[0, 0].astype(jnp.float32)  # (H, D, TC); int8/bf16
             pv = jnp.sum(
-                p.astype(cdtype).astype(jnp.float32)
-                * vc.astype(cdtype).astype(jnp.float32),
+                p.astype(cdtype).astype(jnp.float32) * vc32,
                 axis=2, keepdims=True,
             )  # (H, D, 1)
             mrow[:, :, :1] = m_new
