@@ -141,3 +141,67 @@ def test_fused_ineligible_batch(model):
     )
     spec, pack = task._fused_variant(task.spec, 2)
     assert not spec.fused_step
+
+
+@pytest.mark.parametrize("quantize,kv_int8", [(False, False), (True, True)])
+def test_fused_pending_matches_decoder_step_pending(params, feats, quantize, kv_int8):
+    """Kernel pending-block attention ([cache | pending | new]) parity."""
+    from whisper_tpu.models.whisper import (
+        decoder_step_fused_pending,
+        decoder_step_pending,
+    )
+
+    p = quantize_params(params, scopes=("decoder",)) if quantize else params
+    xk, xv = compute_cross_kv(p, DIMS, feats)
+    xk_c = quantize_kv(xk) if kv_int8 else xk
+    xv_c = quantize_kv(xv) if kv_int8 else xv
+
+    T, bs, w, W = 64, 9, 2, 4  # block starts at 9; cols 0..1 already pending
+    cache = init_kv_cache(DIMS, 1, xk_c, xv_c, jnp.float32, ctx=T)
+    rng = np.random.RandomState(2)
+    sk = rng.randn(*cache.self_k.shape).astype(np.float32) * 0.1
+    sk[..., bs:] = 0
+    sv = rng.randn(*cache.self_v.shape).astype(np.float32) * 0.1
+    sv[..., bs:] = 0
+    cache = cache._replace(self_k=jnp.asarray(sk), self_v=jnp.asarray(sv))
+    L, B, H = DIMS.n_text_layer, 1, DIMS.n_text_head
+    D = DIMS.n_text_state // H
+    pend_k = jnp.asarray(rng.randn(L, B, H, D, W).astype(np.float32) * 0.1)
+    pend_v = jnp.asarray(rng.randn(L, B, H, D, W).astype(np.float32) * 0.1)
+
+    tokens = jnp.asarray([7], jnp.int32)
+    t = jnp.int32(bs + w)
+    h_ref, pk_ref, pv_ref = decoder_step_pending(
+        p, DIMS, tokens, t, jnp.int32(bs), jnp.int32(w), pend_k, pend_v, cache
+    )
+    pack = pack_fused_weights(p, DIMS)
+    xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
+    h, pk, pv = decoder_step_fused_pending(
+        p, pack, DIMS, tokens, t, jnp.int32(bs), jnp.int32(w),
+        pend_k, pend_v, cache, xkp, xvp, xks, xvs,
+    )
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(pk_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(pv_ref), atol=1e-5)
+
+
+def test_fused_write_block_engine_token_parity(model, mel):
+    """Fused engine with deferred KV write blocks decodes the same tokens.
+
+    kv_cache_dtype="int8" keeps write_block through the all-bf16 gate
+    (the gate disables pending blocks only for fully-bf16 configs).
+    """
+    base = DecodingOptions(
+        language="en", temperature=0.0, sample_len=7, kv_cache_dtype="int8"
+    )
+    plain = DecodingTask(
+        model, dataclasses.replace(base, fused_step=False)
+    ).run(mel)
+    task = DecodingTask(model, dataclasses.replace(base, fused_step=True))
+    # test dims are narrow (write_block auto-off); force the block engine
+    task.spec = dataclasses.replace(task.spec, write_block=4)
+    spec, pack = task._fused_variant(task.spec, 1)
+    assert spec.fused_step and spec.write_block == 4
+    fused = task.run(mel)
+    assert plain[0].tokens == fused[0].tokens
+    assert abs(plain[0].avg_logprob - fused[0].avg_logprob) < 1e-4

@@ -549,7 +549,19 @@ class DecodingTask:
 
             pack = pack_fused_weights(self.model.params, self.model.dims)
             self.model._fused_pack = pack
-        return dc_replace(spec, fused_step=True, write_block=0), pack
+        # deferred KV write blocks with the fused kernel: a measured win for
+        # int8 configs (b1 int8+kv-int8 101.7 -> 108.8 RTF), but a slight
+        # LOSS for all-bf16 — the kernel must shrink its cross-attention
+        # chunks 512 -> 256 to fit the pending block in VMEM, which costs
+        # more than the saved full-cache rewrite (b1 bf16 77.3 -> 76.6).
+        # Gate on the kernel's own chunk-shrink condition.
+        from .quantize import is_quantized
+
+        all_bf16 = not is_quantized(
+            self.model.params["decoder"]["blocks"]["q_w"]
+        ) and self.options.kv_cache_dtype != "int8"
+        wb = 0 if all_bf16 else spec.write_block
+        return dc_replace(spec, fused_step=True, write_block=wb), pack
 
     def run_with_prompts(self, mel, prompts: List[List[int]]) -> List[DecodingResult]:
         """Decode a batch where each row carries its own prompt tokens.

@@ -38,6 +38,7 @@ from .models.whisper import (
     decoder_prefill,
     decoder_step,
     decoder_step_fused,
+    decoder_step_fused_pending,
     decoder_step_k,
     decoder_step_pending,
     encoder_apply,
@@ -592,10 +593,16 @@ def decode_engine(
                     s.tokens, jnp.clip(s.t - 1, 0, n_ctx)[:, None], axis=1
                 )[:, 0]
                 pos = (t0_scalar + s.step - 1) if spec.uniform_pos else (s.t - 1)
-                h, pk, pv = decoder_step_pending(
-                    params, dims, prev_tok, pos, block_start, w, pk, pv,
-                    s.cache, n_group=G,
-                )
+                if spec.fused_step:
+                    h, pk, pv = decoder_step_fused_pending(
+                        params, fused_pack, dims, prev_tok, pos, block_start,
+                        w, pk, pv, s.cache, xk_pad, xv_pad, xk_s, xv_s,
+                    )
+                else:
+                    h, pk, pv = decoder_step_pending(
+                        params, dims, prev_tok, pos, block_start, w, pk, pv,
+                        s.cache, n_group=G,
+                    )
                 return (s._replace(cur_logits=project_logits(params, h)), pk, pv), None
 
             (s, pk, pv), _ = jax.lax.scan(

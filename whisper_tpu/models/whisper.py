@@ -495,6 +495,58 @@ def decoder_step_fused(
     return hidden, cache
 
 
+def decoder_step_fused_pending(
+    params: Params,
+    fused_pack,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B,) int32
+    t: jax.Array,  # scalar or (B,) int32
+    block_start: jax.Array,  # scalar or (B,) i32 — cache position of pend col 0
+    w: jax.Array,  # scalar i32 — this step's column in the pending block
+    pend_k: jax.Array,  # (L, B, H, D, W)
+    pend_v: jax.Array,
+    cache: KVCache,
+    xk_pad: jax.Array,
+    xv_pad: jax.Array,
+    xk_s,
+    xv_s,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """decoder_step_pending via the whole-step Pallas kernel (B=1).
+
+    Attention covers [cache (< block_start) | pending (cols < w) | new];
+    the step's K/V lands in pending column w (the cache is untouched —
+    the engine flushes the block every W steps, see flush_pending).
+    Returns (hidden, pend_k', pend_v').
+    """
+    from ..ops.kernels.fused_step_pallas import fused_decoder_layers
+
+    dec = params["decoder"]
+    B = tokens.shape[0]
+    H = dims.n_text_head
+    t_vec = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
+    bs_vec = jnp.broadcast_to(block_start, (B,)).astype(jnp.int32)
+    dtype = dec["tok_emb"].dtype
+    tok_emb = dec["tok_emb"][tokens]
+    pos_emb = dec["pos_emb"][jnp.clip(t_vec, 0, dims.n_text_ctx - 1)]
+    x = (tok_emb + pos_emb).astype(dtype)
+
+    hidden, k_new, v_new = fused_decoder_layers(
+        fused_pack, dims, x, bs_vec, cache.self_k, cache.self_v,
+        xk_pad, xv_pad, xk_s, xv_s, pend_k, pend_v, w,
+    )
+    hidden = layer_norm(hidden, dec["ln_g"], dec["ln_b"])
+    L, B_, C = k_new.shape
+    D = C // H
+    # stash this step's K/V in pending column w (small buffer: cheap where)
+    W = pend_k.shape[-1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, W), 4)
+    k_col = k_new.reshape(L, B_, H, D)[..., None].astype(pend_k.dtype)
+    v_col = v_new.reshape(L, B_, H, D)[..., None].astype(pend_v.dtype)
+    pend_k = jnp.where(col_iota == w, k_col, pend_k)
+    pend_v = jnp.where(col_iota == w, v_col, pend_v)
+    return hidden, pend_k, pend_v
+
+
 def decoder_step_pending(
     params: Params,
     dims: ModelDimensions,

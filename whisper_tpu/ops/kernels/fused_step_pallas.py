@@ -195,13 +195,16 @@ def fused_decoder_layers(
     pack: FusedPack,
     dims,
     x: jax.Array,  # (B=1, C) compute dtype — token+position embedding
-    t: jax.Array,  # (B,) i32 — this step's cache position per row
+    t: jax.Array,  # (B,) i32 — cache positions < t are attended
     self_k: jax.Array,  # (L, B, H, D, T)
     self_v: jax.Array,
     xk: jax.Array,  # (L, B, H, D, Ta_pad) int8 or compute dtype
     xv: jax.Array,
     xk_s: Optional[jax.Array],  # (L, B, H, D, 1) f32 or None
     xv_s: Optional[jax.Array],
+    pend_k: Optional[jax.Array] = None,  # (L, B, H, D, W) — deferred KV block
+    pend_v: Optional[jax.Array] = None,
+    pend_w: Optional[jax.Array] = None,  # scalar i32 — valid pending columns
     *,
     interpret: Optional[bool] = None,  # None = auto (interpreter off-TPU)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -212,6 +215,12 @@ def fused_decoder_layers(
     (bf16 residual stream, f32 LN stats / attention softmax / matmul
     accumulation), so outputs agree to bf16 rounding; accumulation order
     inside attention differs (streaming softmax over cross-KV chunks).
+
+    With ``pend_k/pend_v/pend_w`` the step attends [cache (< t) | pending
+    block (columns < pend_w) | new token] — the kernel half of the engine's
+    deferred write-block scheme (models.whisper.decoder_step_pending): the
+    caller stashes each step's K/V in the small pending block and flushes
+    it into the cache every W steps, avoiding the full-cache rewrite.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -226,11 +235,18 @@ def fused_decoder_layers(
     T = self_k.shape[-1]
     Ta_pad = xk.shape[-1]
     Ta = dims.n_audio_ctx
-    NTA = Ta_pad // _TA_CHUNK
-    NC = 14 + NTA  # phases/layer: q,k,v,o + xq + NTA cross + xo + 4 fc1 + 4 fc2
     assert B == 1, "fused step kernel is the single-stream (B=1) path"
     x_int8 = xk.dtype == jnp.int8
     cdtype = x.dtype
+    has_pending = pend_k is not None
+    # cross-attention chunk width: the bf16-weights + pending config would
+    # exceed VMEM at 512 (weight tiles 6.6 MB double-buffered + pending
+    # blocks); int8 weights leave plenty of headroom
+    ta_chunk = (
+        256 if (has_pending and pack.w.dtype != jnp.int8 and not x_int8) else _TA_CHUNK
+    )
+    NTA = Ta_pad // ta_chunk
+    NC = 14 + NTA  # phases/layer: q,k,v,o + xq + NTA cross + xo + 4 fc1 + 4 fc2
 
     if xk_s is None:
         xk_s = jnp.ones((L, B, H, D, 1), jnp.float32)
@@ -252,8 +268,10 @@ def fused_decoder_layers(
         j = jnp.clip(c - 5, 0, NTA - 1)
         return (l, 0, 0, 0, j)
 
-    def kernel(
-        t_ref,  # SMEM (B,)
+    W = pend_k.shape[-1] if has_pending else 0
+
+    def _kernel_body(
+        t_ref,  # SMEM (2,): [cache boundary t, valid pending columns]
         x_ref,  # (B, C) cdtype
         w_ref,  # (1, 1, C, C)
         ws_ref,  # (1, 1, 1, C) f32
@@ -264,6 +282,7 @@ def fused_decoder_layers(
         xv_ref,
         xks_ref,  # (1, B, H, D, 1) f32
         xvs_ref,
+        maybe_pend,  # (pk_ref, pv_ref) (1, B, H, D, W) tuple, or ()
         # outputs
         out_ref,  # (B, C) cdtype
         knew_ref,  # (1, B, C) cdtype
@@ -282,6 +301,7 @@ def fused_decoder_layers(
         l = pl.program_id(0)
         c = pl.program_id(1)
         t_now = t_ref[0]
+        w_now = t_ref[1]
 
         def ln(x32, off):
             g = consts_ref[0, 0, off : off + C]
@@ -347,11 +367,33 @@ def fused_decoder_layers(
             s_new = jnp.sum(
                 (q3 * kn3).astype(jnp.float32), axis=1, keepdims=True
             )  # (H, 1, 1)
-            # joint softmax over [cache | new] without a lane-axis concat
-            m = jnp.maximum(jnp.max(s_old, axis=2, keepdims=True), s_new)
+            if has_pending:
+                pk_ref, pv_ref = maybe_pend
+                kp = (pk_ref[0, 0] * scale).astype(cdtype)  # (H, D, W)
+                s_pend = jnp.sum(
+                    q3.astype(jnp.float32) * kp.astype(jnp.float32),
+                    axis=1, keepdims=True,
+                )  # (H, 1, W)
+                pend_ok = (
+                    jax.lax.broadcasted_iota(jnp.int32, (H, 1, W), 2) < w_now
+                )
+                s_pend = jnp.where(pend_ok, s_pend, NEG_INF)
+                m = jnp.maximum(
+                    jnp.maximum(
+                        jnp.max(s_old, axis=2, keepdims=True),
+                        jnp.max(s_pend, axis=2, keepdims=True),
+                    ),
+                    s_new,
+                )
+            else:
+                m = jnp.maximum(jnp.max(s_old, axis=2, keepdims=True), s_new)
+            # joint softmax over [cache | pending | new], no lane-axis concat
             p_old = jnp.exp(s_old - m)  # (H, 1, T)
             p_new = jnp.exp(s_new - m)  # (H, 1, 1)
             denom = jnp.sum(p_old, axis=2, keepdims=True) + p_new
+            if has_pending:
+                p_pend = jnp.exp(s_pend - m)  # (H, 1, W)
+                denom = denom + jnp.sum(p_pend, axis=2, keepdims=True)
             w_old = (p_old / denom).astype(cdtype)
             w_new = p_new / denom  # (H, 1, 1) f32
             vc = sv_ref[0, 0]  # (H, D, T)
@@ -359,6 +401,13 @@ def fused_decoder_layers(
                 w_old.astype(jnp.float32) * vc.astype(jnp.float32),
                 axis=2, keepdims=True,
             )  # (H, D, 1) f32
+            if has_pending:
+                w_pend = (p_pend / denom).astype(cdtype)
+                attn = attn + jnp.sum(
+                    w_pend.astype(jnp.float32)
+                    * pv_ref[0, 0].astype(jnp.float32),
+                    axis=2, keepdims=True,
+                )
             attn = attn + w_new * to_col3(kvbuf[1]).astype(jnp.float32)
             hbuf[:] = to_row(attn.astype(cdtype))  # stash for o proj
 
@@ -396,8 +445,8 @@ def fused_decoder_layers(
                 q3.astype(jnp.float32) * kc32,
                 axis=1, keepdims=True,
             )  # (H, 1, TC) f32
-            col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, _TA_CHUNK), 2)
-            s = jnp.where(col + j * _TA_CHUNK < Ta, s, NEG_INF)
+            col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, ta_chunk), 2)
+            s = jnp.where(col + j * ta_chunk < Ta, s, NEG_INF)
 
             m_prev = mrow[:, :, :1]  # (H, 1, 1)
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
@@ -458,6 +507,27 @@ def fused_decoder_layers(
             def _final():
                 out_ref[:] = xres[:]
 
+    if has_pending:
+
+        def kernel(t_ref, x_ref, w_ref, ws_ref, consts_ref, sk_ref, sv_ref,
+                   xk_ref, xv_ref, xks_ref, xvs_ref, pk_ref, pv_ref,
+                   out_ref, knew_ref, vnew_ref, *scratch):
+            _kernel_body(
+                t_ref, x_ref, w_ref, ws_ref, consts_ref, sk_ref, sv_ref,
+                xk_ref, xv_ref, xks_ref, xvs_ref, (pk_ref, pv_ref),
+                out_ref, knew_ref, vnew_ref, *scratch,
+            )
+    else:
+
+        def kernel(t_ref, x_ref, w_ref, ws_ref, consts_ref, sk_ref, sv_ref,
+                   xk_ref, xv_ref, xks_ref, xvs_ref,
+                   out_ref, knew_ref, vnew_ref, *scratch):
+            _kernel_body(
+                t_ref, x_ref, w_ref, ws_ref, consts_ref, sk_ref, sv_ref,
+                xk_ref, xv_ref, xks_ref, xvs_ref, (),
+                out_ref, knew_ref, vnew_ref, *scratch,
+            )
+
     from jax.experimental.pallas import tpu as pltpu  # noqa: F811
 
     grid = (L, NC)
@@ -489,20 +559,34 @@ def fused_decoder_layers(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, B, H, D, _TA_CHUNK), cross_chunk_index, memory_space=pltpu.VMEM
+                (1, B, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, B, H, D, _TA_CHUNK), cross_chunk_index, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, B, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, B, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, B, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
+            pl.BlockSpec(
+                (1, B, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, B, H, D, W), lambda l, c: (l, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, B, H, D, W), lambda l, c: (l, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            if has_pending
+            else []
+        ),
         out_specs=(
             pl.BlockSpec((B, C), lambda l, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, C), lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM),
@@ -525,8 +609,13 @@ def fused_decoder_layers(
         ),
         interpret=interpret,
     )
-    t_arr = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
-    hidden, k_new, v_new = kernel_call(
-        t_arr, x, pack.w, pack.ws, pack.consts, self_k, self_v, xk, xv, xk_s, xv_s
+    t_scal = jnp.broadcast_to(t, (B,)).astype(jnp.int32)[0]
+    w_scal = (
+        pend_w.astype(jnp.int32) if has_pending else jnp.int32(0)
     )
+    scal = jnp.stack([t_scal, w_scal])
+    args = [scal, x, pack.w, pack.ws, pack.consts, self_k, self_v, xk, xv, xk_s, xv_s]
+    if has_pending:
+        args += [pend_k, pend_v]
+    hidden, k_new, v_new = kernel_call(*args)
     return hidden, k_new, v_new
