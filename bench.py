@@ -53,17 +53,24 @@ def _memory_probe_gbps():
     import jax
     import jax.numpy as jnp
 
+    # random data (constant inputs constant-fold into bogus-fast DMA) and
+    # sync via a scalar fetch: block_until_ready is a NO-OP on the remote
+    # axon attachment, so only materializing a value on the host waits.
     n = 4096
-    x = jnp.ones((n, n), jnp.bfloat16)
+    reps = 8
+    x = jnp.asarray(np.random.RandomState(0).randn(n, n), jnp.bfloat16)
     f = jax.jit(lambda a: a * 1.0009 + 0.1)
-    jax.block_until_ready(f(x))
+    sync = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+    float(sync(f(x)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        y = f(x)
-        jax.block_until_ready(y)
+        y = x
+        for _ in range(reps):
+            y = f(y)
+        float(sync(y))
         best = min(best, time.perf_counter() - t0)
-    return round(2 * x.size * 2 / best / 1e9, 1)
+    return round(reps * 2 * x.size * 2 / best / 1e9, 1)
 
 
 def run_config(

@@ -83,18 +83,22 @@ def main():
     tokens = jnp.asarray([42], jnp.int32)
     t = jnp.int32(16)
 
+    # jax.block_until_ready is a NO-OP on the axon remote backend; the only
+    # true sync is fetching a value to the host
+    fetch = jax.jit(lambda h: jnp.sum(h.astype(jnp.float32)))
+
     def bench(fn, weights, cache, label):
         # weights/cache as jit ARGUMENTS: a closed-over params pytree makes
         # XLA embed GBs of constants and the compile appears to hang
         f = jax.jit(fn, donate_argnums=(1,))
         t0 = time.perf_counter()
         h, c = f(weights, cache)
-        jax.block_until_ready(h)
+        float(fetch(h))
         print(f"{label}: compile+1 {time.perf_counter() - t0:.1f}s", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             h, c = f(weights, c)
-        jax.block_until_ready(h)
+        float(fetch(h))
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{label}: {dt:.3f} ms/step", flush=True)
         return dt
