@@ -69,51 +69,59 @@ _ALIGNMENT_HEADS = {
 }
 
 
-def _download(url: str, root: str, in_memory: bool) -> Union[bytes, str]:
-    """Download with SHA256 verification (reference whisper/__init__.py:54-95)."""
-    os.makedirs(root, exist_ok=True)
+def _cached_bytes(path: str, sha256: str) -> Optional[bytes]:
+    """Contents of ``path`` if it exists and matches ``sha256``, else None."""
+    if os.path.exists(path) and not os.path.isfile(path):
+        raise RuntimeError(f"{path} exists and is not a regular file")
+    if not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    if hashlib.sha256(data).hexdigest() == sha256:
+        return data
+    warnings.warn(
+        f"{path} exists, but the SHA256 checksum does not match; "
+        "re-downloading the file"
+    )
+    return None
 
-    expected_sha256 = url.split("/")[-2]
-    download_target = os.path.join(root, os.path.basename(url))
 
-    if os.path.exists(download_target) and not os.path.isfile(download_target):
-        raise RuntimeError(f"{download_target} exists and is not a regular file")
-
-    if os.path.isfile(download_target):
-        with open(download_target, "rb") as f:
-            model_bytes = f.read()
-        if hashlib.sha256(model_bytes).hexdigest() == expected_sha256:
-            return model_bytes if in_memory else download_target
-        warnings.warn(
-            f"{download_target} exists, but the SHA256 checksum does not match; "
-            "re-downloading the file"
-        )
-
+def _fetch_to_file(url: str, path: str) -> None:
+    """Stream ``url`` into ``path`` with a progress bar."""
     from tqdm import tqdm
 
-    with urllib.request.urlopen(url) as source, open(download_target, "wb") as output:
-        with tqdm(
-            total=int(source.info().get("Content-Length")),
-            ncols=80,
-            unit="iB",
-            unit_scale=True,
-            unit_divisor=1024,
-        ) as loop:
-            while True:
-                buffer = source.read(8192)
-                if not buffer:
-                    break
-                output.write(buffer)
-                loop.update(len(buffer))
+    with urllib.request.urlopen(url) as source, open(path, "wb") as output:
+        size = int(source.info().get("Content-Length"))
+        with tqdm(total=size, ncols=80, unit="iB", unit_scale=True,
+                  unit_divisor=1024) as progress:
+            for chunk in iter(lambda: source.read(8192), b""):
+                output.write(chunk)
+                progress.update(len(chunk))
 
-    model_bytes = open(download_target, "rb").read()
-    if hashlib.sha256(model_bytes).hexdigest() != expected_sha256:
-        raise RuntimeError(
-            "Model has been downloaded but the SHA256 checksum does not match. "
-            "Please retry loading the model."
-        )
 
-    return model_bytes if in_memory else download_target
+def _download(url: str, root: str, in_memory: bool) -> Union[bytes, str]:
+    """Fetch a checkpoint URL into ``root`` (SHA256-verified, cached).
+
+    Same contract as the reference's downloader (whisper/__init__.py:54-95):
+    the expected digest is the second-to-last URL path component, an existing
+    file with a matching digest is reused, and a post-download mismatch is an
+    error.  Returns the raw bytes when ``in_memory`` else the file path.
+    """
+    os.makedirs(root, exist_ok=True)
+    sha256 = url.split("/")[-2]
+    target = os.path.join(root, os.path.basename(url))
+
+    data = _cached_bytes(target, sha256)
+    if data is None:
+        _fetch_to_file(url, target)
+        with open(target, "rb") as f:
+            data = f.read()
+        if hashlib.sha256(data).hexdigest() != sha256:
+            raise RuntimeError(
+                "Model has been downloaded but the SHA256 checksum does not "
+                "match. Please retry loading the model."
+            )
+    return data if in_memory else target
 
 
 def available_models() -> List[str]:

@@ -115,7 +115,25 @@ class SubtitlesWriter(ResultWriter):
                 last = end
 
     @staticmethod
+    def _word_stream(
+        segments: List[dict], max_words_per_line: int
+    ) -> Iterator[Tuple[bool, dict]]:
+        """Yield ``(at_chunk_head, word_timing)`` over all segments' words.
+
+        A "chunk" is a run of at most ``max_words_per_line`` words within one
+        segment; chunk heads are where segment-preserving mode may force a
+        subtitle boundary.
+        """
+        for segment in segments:
+            words = segment["words"]
+            for head in range(0, len(words), max_words_per_line):
+                for offset, timing in enumerate(
+                    words[head : head + max_words_per_line]
+                ):
+                    yield offset == 0, timing
+
     def _iterate_subtitles(
+        self,
         result: dict,
         *,
         max_line_width: int,
@@ -123,47 +141,47 @@ class SubtitlesWriter(ResultWriter):
         max_words_per_line: int,
         preserve_segments: bool,
     ) -> Iterator[List[dict]]:
-        line_len = 0
+        """Group word timings into subtitle cues (lists of word dicts).
+
+        Each word either (1) glues onto the current line, (2) opens a new
+        line within the cue, or (3) opens a new cue.  A new cue starts at a
+        chunk head in segment-preserving mode, and — when a line-count limit
+        is active — after a >3 s pause or once the cue is full.  Words that
+        start a line are stripped of surrounding whitespace; continuation
+        lines keep an embedded "\\n" prefix on their first word.
+        """
+        line_len = 0  # characters on the current line; 0 = at a line start
         line_count = 1
-        subtitle: List[dict] = []
-        last: float = get_start(result["segments"]) or 0.0
-        for segment in result["segments"]:
-            chunk_index = 0
-            words_count = max_words_per_line
-            while chunk_index < len(segment["words"]):
-                remaining_words = len(segment["words"]) - chunk_index
-                if max_words_per_line > remaining_words:
-                    words_count = remaining_words
-                for i, original_timing in enumerate(
-                    segment["words"][chunk_index : chunk_index + words_count]
-                ):
-                    timing = original_timing.copy()
-                    long_pause = not preserve_segments and timing["start"] - last > 3.0
-                    has_room = line_len + len(timing["word"]) <= max_line_width
-                    seg_break = i == 0 and len(subtitle) > 0 and preserve_segments
-                    if line_len > 0 and has_room and not long_pause and not seg_break:
-                        # continue the current line
-                        line_len += len(timing["word"])
-                    else:
-                        timing["word"] = timing["word"].strip()
-                        if (
-                            len(subtitle) > 0
-                            and max_line_count is not None
-                            and (long_pause or line_count >= max_line_count)
-                            or seg_break
-                        ):
-                            yield subtitle
-                            subtitle = []
-                            line_count = 1
-                        elif line_len > 0:
-                            line_count += 1
-                            timing["word"] = "\n" + timing["word"]
-                        line_len = len(timing["word"].strip())
-                    subtitle.append(timing)
-                    last = timing["start"]
-                chunk_index += max_words_per_line
-        if subtitle:
-            yield subtitle
+        cue: List[dict] = []
+        prev_start: float = get_start(result["segments"]) or 0.0
+        for at_chunk_head, original in self._word_stream(
+            result["segments"], max_words_per_line
+        ):
+            word = dict(original)
+            text = word["word"]
+            pause = not preserve_segments and word["start"] - prev_start > 3.0
+            forced_cue = at_chunk_head and bool(cue) and preserve_segments
+            if line_len and line_len + len(text) <= max_line_width and not (
+                pause or forced_cue
+            ):
+                line_len += len(text)  # (1) same line
+            else:
+                word["word"] = text = text.strip()
+                full = max_line_count is not None and (
+                    pause or line_count >= max_line_count
+                )
+                if forced_cue or (cue and full):
+                    yield cue  # (3) new cue
+                    cue = []
+                    line_count = 1
+                elif line_len:
+                    line_count += 1  # (2) new line in this cue
+                    word["word"] = "\n" + text
+                line_len = len(text)
+            cue.append(word)
+            prev_start = word["start"]
+        if cue:
+            yield cue
 
 
 class WriteVTT(SubtitlesWriter):
