@@ -355,15 +355,9 @@ def fused_decoder_layers(
             scale = D**-0.25
             q3 = (to_col3(qbuf[:]) * scale).astype(cdtype)  # (H, D, 1)
             kc = (sk_ref[0, 0] * scale).astype(cdtype)  # (H, D, T)
-            # batched-over-heads MXU matvecs (dot_general) instead of
-            # broadcast-multiply VPU reduces: same bf16 products, f32
-            # accumulation, no (H, D, T) f32 temporaries.  Measured
-            # perf-NEUTRAL vs the VPU reduces at large-v3 b1 bf16 (2.76 vs
-            # 2.78 ms/step, interleaved A/B) — the step is DMA-bound, not
-            # VPU-bound — kept for the smaller VMEM footprint
-            s_old = jax.lax.dot_general(
-                q3, kc, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+            s_old = jnp.sum(
+                q3.astype(jnp.float32) * kc.astype(jnp.float32),
+                axis=1, keepdims=True,
             )  # (H, 1, T) f32
             pos_ok = (
                 jax.lax.broadcasted_iota(jnp.int32, (H, 1, T), 2) < t_now
@@ -376,9 +370,9 @@ def fused_decoder_layers(
             if has_pending:
                 pk_ref, pv_ref = maybe_pend
                 kp = (pk_ref[0, 0] * scale).astype(cdtype)  # (H, D, W)
-                s_pend = jax.lax.dot_general(
-                    q3, kp, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+                s_pend = jnp.sum(
+                    q3.astype(jnp.float32) * kp.astype(jnp.float32),
+                    axis=1, keepdims=True,
                 )  # (H, 1, W)
                 pend_ok = (
                     jax.lax.broadcasted_iota(jnp.int32, (H, 1, W), 2) < w_now
@@ -402,17 +396,17 @@ def fused_decoder_layers(
                 denom = denom + jnp.sum(p_pend, axis=2, keepdims=True)
             w_old = (p_old / denom).astype(cdtype)
             w_new = p_new / denom  # (H, 1, 1) f32
-            vc = sv_ref[0, 0].astype(cdtype)  # (H, D, T)
-            attn = jax.lax.dot_general(
-                vc, w_old, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+            vc = sv_ref[0, 0]  # (H, D, T)
+            attn = jnp.sum(
+                w_old.astype(jnp.float32) * vc.astype(jnp.float32),
+                axis=2, keepdims=True,
             )  # (H, D, 1) f32
             if has_pending:
                 w_pend = (p_pend / denom).astype(cdtype)
-                attn = attn + jax.lax.dot_general(
-                    pv_ref[0, 0].astype(cdtype), w_pend,
-                    (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+                attn = attn + jnp.sum(
+                    w_pend.astype(jnp.float32)
+                    * pv_ref[0, 0].astype(jnp.float32),
+                    axis=2, keepdims=True,
                 )
             attn = attn + w_new * to_col3(kvbuf[1]).astype(jnp.float32)
             hbuf[:] = to_row(attn.astype(cdtype))  # stash for o proj
@@ -442,16 +436,14 @@ def fused_decoder_layers(
                     * (D**-0.5)
                     * xks_ref[0, 0]
                 ).astype(cdtype)  # (H, D, 1)
-                # int8 values are exact in bf16 (<= 8 mantissa bits needed),
-                # so the cdtype cast for the MXU dot is lossless
-                kcc = xk_ref[0, 0].astype(jnp.float32).astype(cdtype)  # (H, D, TC)
+                kc32 = xk_ref[0, 0].astype(jnp.float32)  # (H, D, TC)
             else:
                 scale = D**-0.25
                 q3 = (to_col3(qbuf[:]) * scale).astype(cdtype)
-                kcc = (xk_ref[0, 0] * scale).astype(cdtype)
-            s = jax.lax.dot_general(
-                q3, kcc, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                kc32 = (xk_ref[0, 0] * scale).astype(cdtype).astype(jnp.float32)
+            s = jnp.sum(
+                q3.astype(jnp.float32) * kc32,
+                axis=1, keepdims=True,
             )  # (H, 1, TC) f32
             col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, ta_chunk), 2)
             s = jnp.where(col + j * ta_chunk < Ta, s, NEG_INF)
@@ -460,12 +452,10 @@ def fused_decoder_layers(
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
             corr = jnp.exp(m_prev - m_new)  # (H, 1, 1)
             p = jnp.exp(s - m_new)  # (H, 1, TC) f32
-            # int8/bf16 V: int8 -> bf16 via f32 is lossless (Mosaic lacks a
-            # direct 3D int8->bf16 cast)
-            vcc = xv_ref[0, 0].astype(jnp.float32).astype(cdtype)  # (H, D, TC)
-            pv = jax.lax.dot_general(
-                vcc, p.astype(cdtype), (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+            vc32 = xv_ref[0, 0].astype(jnp.float32)  # (H, D, TC); int8/bf16
+            pv = jnp.sum(
+                p.astype(cdtype).astype(jnp.float32) * vc32,
+                axis=2, keepdims=True,
             )  # (H, D, 1)
             mrow[:, :, :1] = m_new
             lrow[:, :, :1] = lrow[:, :, :1] * corr + jnp.sum(
