@@ -282,6 +282,15 @@ def main():
     args = parser.parse_args()
     if args.word_timestamps and not args.e2e:
         parser.error("--word-timestamps only measures anything with --e2e")
+    # any config flag implies --single: silently benchmarking the whole
+    # suite while ignoring the flags the user typed is a foot-gun
+    defaults = dict(
+        model=None, batch=16, tokens=110, quantize=None, beam=0,
+        kv_int8=False, e2e=False, word_timestamps=False, draft=None,
+        draft_len=4, force_accept=False,
+    )
+    if any(getattr(args, k) != v for k, v in defaults.items()):
+        args.single = True
 
     import jax
 
