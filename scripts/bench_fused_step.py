@@ -112,7 +112,14 @@ def main():
     # donated cache shares the cross-KV buffers, which donation deletes)
     pack = pack_fused_weights(params, dims)
     xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
-    cache_fused = init_kv_cache(dims, 1, xk_c, xv_c, jnp.bfloat16, ctx=T)
+    # the fused bench donates its cache too; pad_cross_kv copies k/v (pad)
+    # but returns the int8 SCALES by reference, so the cache must not share
+    # them — donating a buffer that is also a live kernel input fails at
+    # runtime with an opaque InvalidArgument
+    cache_fused = init_kv_cache(
+        dims, 1, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
+        jnp.bfloat16, ctx=T,
+    )
     if args.skip_xla and not args.check:
         cache = None
     del xk, xv, xk_c, xv_c, feats
