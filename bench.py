@@ -142,8 +142,11 @@ def run_config(
         # pinned as in the engine bench (random weights never emit EOT).
         from whisper_tpu.batch import transcribe_batch
 
+        # 16-bit-quantized waveforms, like every real audio input (ffmpeg
+        # decodes to s16le; WAV/FLAC sources are 16-bit) — exercises the
+        # int16 transfer path the product uses
         audios = [
-            (rng.randn(16000 * 30) * 0.1).astype(np.float32)
+            (rng.randn(16000 * 30) * 0.1 * 32768.0).astype(np.int16)
             for _ in range(batch)
         ]
         kw = dict(
@@ -154,8 +157,16 @@ def run_config(
             no_speech_threshold=None,
             word_timestamps=word_timestamps,
         )
-        # (word timing uses Whisper's default alignment heads — the upper
-        # half of decoder layers — since random weights carry no dump)
+        if word_timestamps:
+            # real checkpoints always carry an alignment-head dump (e.g.
+            # large-v3 selects 10 of 640 heads); random weights would fall
+            # back to the upper-half default (320 heads at large-v3), making
+            # the QK pipeline 32x the product configuration.  Bench what a
+            # real model runs.
+            from whisper_tpu import _ALIGNMENT_HEADS
+
+            if model_name in _ALIGNMENT_HEADS:
+                model.set_alignment_heads(_ALIGNMENT_HEADS[model_name])
         if draft_model is not None:
             kw["draft_model"] = draft_model
         transcribe_batch(model, audios, **kw)  # warmup/compile

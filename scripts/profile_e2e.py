@@ -52,9 +52,17 @@ def main():
         params = quantize_params(params)
     model = Whisper(dims, params, dtype=dtype)
 
+    if args.word_timestamps:
+        # install the real checkpoint's alignment-head set (random weights
+        # would default to ALL upper-half heads — 32x the product QK work)
+        from whisper_tpu import _ALIGNMENT_HEADS
+
+        if name in _ALIGNMENT_HEADS:
+            model.set_alignment_heads(_ALIGNMENT_HEADS[name])
+
     rng = np.random.RandomState(0)
     audios = [
-        (rng.randn(16000 * 30) * 0.1).astype(np.float32) for _ in range(args.batch)
+        (rng.randn(16000 * 30) * 0.1 * 32768.0).astype(np.int16) for _ in range(args.batch)
     ]
     kw = dict(
         batch_size=args.batch, language="en", temperature=0.0,

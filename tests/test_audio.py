@@ -56,3 +56,35 @@ def test_mel_parity_vs_reference(n_mels, padding):
     ours = np.asarray(log_mel_spectrogram(audio, n_mels=n_mels, padding=padding))
     assert ref.shape == ours.shape
     assert np.abs(ref - ours).max() < 1e-4
+
+
+def test_as_transfer_array_exact_pcm_roundtrip():
+    from whisper_tpu.audio import as_transfer_array
+
+    # 16-bit-PCM-valued float32 (what load_audio produces) converts exactly
+    pcm = np.array([-32768, -1, 0, 1, 17, 32767], np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+    out = as_transfer_array(f32)
+    assert out.dtype == np.int16
+    assert np.array_equal(out, pcm)
+
+    # non-PCM floats (resampled/synthetic audio) stay float32
+    synth = np.random.RandomState(0).randn(100).astype(np.float32) * 0.1
+    out = as_transfer_array(synth)
+    assert out.dtype == np.float32 and out is synth
+
+    # out-of-range floats stay float32 (would clip as int16)
+    loud = np.array([1.5, -2.0], np.float32)
+    assert as_transfer_array(loud).dtype == np.float32
+
+    # int16 passes through
+    assert as_transfer_array(pcm) is pcm
+
+
+def test_log_mel_int16_bit_identical():
+    audio = load_audio(JFK)
+    pcm = np.round(audio * 32768.0).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+    mel_f32 = np.asarray(log_mel_spectrogram(f32))
+    mel_i16 = np.asarray(log_mel_spectrogram(pcm))
+    assert np.array_equal(mel_f32, mel_i16)

@@ -1,6 +1,7 @@
 """transcribe_batch must reproduce per-file transcribe() exactly
 (condition_on_previous_text=False semantics, temperature 0)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -201,3 +202,35 @@ def test_batch_alignment_heterogeneous_lengths(model):
             assert a.word == b.word
             assert a.start == b.start and a.end == b.end
             assert abs(a.probability - b.probability) < 1e-6
+
+
+def test_alignment_from_features_matches_mel(model):
+    """Alignment fed the decode's encoder features == alignment from mel.
+
+    In float32 the encoder is deterministic, so skipping the alignment
+    program's encoder pass (reusing the engine's features) must be exact.
+    """
+    from whisper_tpu.models.whisper import encoder_apply
+    from whisper_tpu.timing import find_alignment_batch
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    rng = np.random.RandomState(0)
+    mels = rng.randn(2, 80, 3000).astype(np.float32) * 0.3
+    texts = [
+        tokenizer.encode(" And so my fellow Americans ask not"),
+        tokenizer.encode(" hello world"),
+    ]
+    frames = [2200, 900]
+
+    from_mel = find_alignment_batch(model, tokenizer, texts, mels, frames)
+    feats = encoder_apply(model.params, model.dims, jnp.asarray(mels))
+    from_feats = find_alignment_batch(
+        model, tokenizer, texts, None, frames, features=feats
+    )
+    for i in range(2):
+        assert len(from_mel[i]) == len(from_feats[i])
+        for a, b in zip(from_mel[i], from_feats[i]):
+            assert a.word == b.word
+            assert a.start == b.start and a.end == b.end
+            assert abs(a.probability - b.probability) < 1e-7

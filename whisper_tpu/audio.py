@@ -110,6 +110,41 @@ def pad_or_trim(array, length: int = N_SAMPLES, *, axis: int = -1):
     return array
 
 
+def as_transfer_array(audio: np.ndarray) -> np.ndarray:
+    """Re-quantize a float waveform to int16 when exactly lossless.
+
+    Every real audio input is 16-bit PCM at some point in its pipeline
+    (ffmpeg decodes to s16le — reference whisper/audio.py:47 — and WAV/FLAC
+    sources are 16-bit), so the float32 waveform is usually int16/32768
+    exactly.  Uploading the int16 stream halves-to-quarters the host→device
+    transfer — the dominant cost of batched transcription over a remote
+    attachment — and the device-side ``x * (1/32768)`` reconstruction is
+    exact (power-of-two scale), so the mel output is bit-identical.
+
+    Returns the int16 array when the conversion is exact, otherwise the
+    input unchanged (resampled or synthetic float audio stays float32).
+    """
+    if audio.dtype == np.int16:
+        return audio
+    if audio.dtype != np.float32:
+        return audio
+    scaled = audio * 32768.0
+    if (
+        np.all(scaled >= -32768.0)
+        and np.all(scaled <= 32767.0)
+        and np.array_equal(scaled, np.floor(scaled))
+    ):
+        return scaled.astype(np.int16)
+    return audio
+
+
+def _pcm_scale(audio: jax.Array) -> jax.Array:
+    """f32 samples from a possibly-int16 device array (exact: 2^-15 scale)."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) * (1.0 / 32768.0)
+    return audio.astype(jnp.float32)
+
+
 @lru_cache(maxsize=None)
 def mel_filters(n_mels: int) -> np.ndarray:
     """Load the mel filterbank matrix projecting the STFT onto `n_mels` bins.
@@ -153,7 +188,7 @@ def _log_mel_jax(audio: jax.Array, filters: jax.Array, n_mels: int) -> jax.Array
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None, :]
-    audio = audio.astype(jnp.float32)
+    audio = _pcm_scale(audio)
 
     half = N_FFT // 2
     padded = jnp.pad(audio, ((0, 0), (half, half)), mode="reflect")
@@ -201,7 +236,7 @@ def _log_mel_frames_jax(samples: jax.Array, filters: jax.Array, n_mels: int) -> 
     computed over these frames only — a streaming transcriber cannot see the
     whole file's maximum (see streaming.StreamingTranscriber notes).
     """
-    samples = samples.astype(jnp.float32)
+    samples = _pcm_scale(samples)
     n_frames = (samples.shape[-1] - N_FFT) // HOP_LENGTH + 1
     idx = (
         jnp.arange(n_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
@@ -229,7 +264,9 @@ def _log_mel_frames_jax(samples: jax.Array, filters: jax.Array, n_mels: int) -> 
 def log_mel_frames(samples: Union[np.ndarray, jax.Array], n_mels: int = 80) -> jax.Array:
     """Log-Mel frames of a pre-margined sample slice (see _log_mel_frames_jax)."""
     filters = jnp.asarray(mel_filters(n_mels))
-    return _log_mel_frames_jax(jnp.asarray(samples, jnp.float32), filters, n_mels)
+    if isinstance(samples, np.ndarray):
+        samples = as_transfer_array(samples)
+    return _log_mel_frames_jax(jnp.asarray(samples), filters, n_mels)
 
 
 def log_mel_spectrogram(
@@ -242,7 +279,10 @@ def log_mel_spectrogram(
 
     Parameters
     ----------
-    audio : path, 1-D waveform, or batch of waveforms at 16 kHz
+    audio : path, 1-D waveform, or batch of waveforms at 16 kHz.  int16
+        arrays are interpreted as 16-bit PCM and scaled by 1/32768 on
+        device; float32 arrays that are exactly 16-bit-PCM-valued upload
+        as int16 automatically (bit-identical, far fewer transfer bytes)
     n_mels : 80 or 128
     padding : zero samples to append (transcribe pads a full 30 s window)
     device : optional jax.Device to place the computation on
@@ -253,7 +293,14 @@ def log_mel_spectrogram(
     """
     if isinstance(audio, str):
         audio = load_audio(audio)
-    audio = jnp.asarray(audio, dtype=jnp.float32)
+    if isinstance(audio, np.ndarray):
+        # ship 16-bit PCM streams as int16 (exactness-checked): the upload is
+        # the dominant cost on remote attachments and the on-device
+        # reconstruction is bit-exact (see as_transfer_array)
+        audio = as_transfer_array(audio)
+    audio = jnp.asarray(audio)
+    if audio.dtype != jnp.int16:
+        audio = audio.astype(jnp.float32)
     if device is not None:
         audio = jax.device_put(audio, device)
     if padding > 0:

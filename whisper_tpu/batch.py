@@ -36,6 +36,7 @@ from .audio import (
     N_FRAMES,
     N_SAMPLES,
     SAMPLE_RATE,
+    as_transfer_array,
     load_audio,
     log_mel_spectrogram,
 )
@@ -179,13 +180,26 @@ def transcribe_batch(
     # reads frames inside the row's true region.
     with _st("audio_host"):
         arrs = [
-            load_audio(a) if isinstance(a, str) else np.asarray(a, np.float32).reshape(-1)
+            load_audio(a)
+            if isinstance(a, str)
+            else (
+                np.asarray(a).reshape(-1)
+                if np.asarray(a).dtype == np.int16
+                else np.asarray(a, np.float32).reshape(-1)
+            )
             for a in audios
         ]
         lens = [a.shape[0] for a in arrs]
-        buf = np.zeros((len(arrs), max(lens) if lens else 0), np.float32)
+        # ship the batch as int16 when every row is exactly 16-bit PCM — the
+        # waveform upload dominates the mel stage on remote attachments and
+        # the device-side reconstruction is bit-exact (audio.as_transfer_array)
+        arrs = [as_transfer_array(a) for a in arrs]
+        dt = np.int16 if all(a.dtype == np.int16 for a in arrs) else np.float32
+        buf = np.zeros((len(arrs), max(lens) if lens else 0), dt)
         for i, a in enumerate(arrs):
-            buf[i, : a.shape[0]] = a
+            buf[i, : a.shape[0]] = a if dt == np.int16 else (
+                a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a
+            )
     with _st("mel"):
         mels_dev = _sync(log_mel_spectrogram(
             jax.device_put(buf), model.dims.n_mels, padding=N_SAMPLES
@@ -386,14 +400,23 @@ def transcribe_batch(
                 aligned_rows = [
                     k for k, toks in enumerate(text_tokens) if len(toks) > 0
                 ]
+                # reuse the encoder features the decode engine already
+                # computed for these windows (skips a full encoder pass in
+                # the alignment program); fall back to the mel windows if an
+                # engine variant didn't return them
+                feats = [pending[k]["result"].audio_features for k in aligned_rows]
+                have_feats = feats and all(f is not None for f in feats)
                 alignments = find_alignment_batch(
                     model,
                     tokenizer,
                     [text_tokens[k] for k in aligned_rows],
-                    wins_dev[
+                    None
+                    if have_feats
+                    else wins_dev[
                         np.asarray([pending[k]["row"] for k in aligned_rows])
                     ],  # device gather — no host round-trip
                     [pending[k]["segment_size"] for k in aligned_rows],
+                    features=jnp.stack(feats) if have_feats else None,
                 ) if aligned_rows else []
                 # rows with no text tokens still run add_word_timestamps (with
                 # an empty alignment) and the seek refinement, exactly as

@@ -57,7 +57,10 @@ class WordTiming:
 
 @partial(
     jax.jit,
-    static_argnames=("dims", "heads", "sot_len", "eot", "medfilt_width", "n_rows"),
+    static_argnames=(
+        "dims", "heads", "sot_len", "eot", "medfilt_width", "n_rows",
+        "features_given",
+    ),
 )
 def _alignment_device(
     params,
@@ -67,18 +70,22 @@ def _alignment_device(
     eot: int,
     medfilt_width: int,
     n_rows: int,  # static: token bucket minus sot_len (DTW row count)
-    mel: jax.Array,  # (B, n_mels, 3000)
+    mel: jax.Array,  # (B, n_mels, 3000) or, features_given, (B, Ta, C)
     tokens: jax.Array,  # (B, Tb) — sot_seq + no_timestamps + text + eot, padded
     t_real: jax.Array,  # (B,): true token counts
     nf2: jax.Array,  # (B,): num_frames // 2 (true audio columns)
     qk_scale: jax.Array,
+    features_given: bool = False,
 ):
     """Teacher-forced pass + attention pipeline + DTW trace, one XLA program.
 
     Batched over segments: each row has its own true token length and frame
-    count, handled by masking and a per-row reflect remap.
+    count, handled by masking and a per-row reflect remap.  When the caller
+    already holds the windows' encoder features (the decode engine returns
+    them), pass those instead of mel with ``features_given=True`` — the
+    encoder pass is skipped entirely.
     """
-    feats = encoder_apply(params, dims, mel)
+    feats = mel if features_given else encoder_apply(params, dims, mel)
     logits, qk = decoder_forward(
         params, dims, tokens, feats, alignment_heads=np.asarray(heads)
     )
@@ -131,9 +138,10 @@ def find_alignment_batch(
     model: "Whisper",
     tokenizer: Tokenizer,
     text_tokens_batch: List[List[int]],
-    mels,  # (B, n_mels, 3000)
+    mels,  # (B, n_mels, 3000); ignored when ``features`` is given
     num_frames_batch: List[int],
     *,
+    features=None,  # (B, Ta, C) encoder features from the decode engine
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
 ) -> List[List[WordTiming]]:
@@ -141,7 +149,10 @@ def find_alignment_batch(
 
     Per-segment results are identical to :func:`find_alignment`; all segments
     share one (bucketed) token length, with per-row masking for the true
-    lengths and frame counts.
+    lengths and frame counts.  Pass ``features`` (the encoder output the
+    decode engine already computed for these windows) to skip re-encoding —
+    at large-v3 the encoder is the most expensive piece of the alignment
+    program.
     """
     if not text_tokens_batch:
         return []
@@ -157,9 +168,14 @@ def find_alignment_batch(
     for i, f in enumerate(fulls):
         padded[i, : min(len(f), tb)] = f[:tb]
 
-    mels = jnp.asarray(mels)
-    if mels.ndim == 2:
-        mels = mels[None]
+    if features is not None:
+        mel_or_feats = jnp.asarray(features)
+        if mel_or_feats.ndim == 2:
+            mel_or_feats = mel_or_feats[None]
+    else:
+        mel_or_feats = jnp.asarray(mels)
+        if mel_or_feats.ndim == 2:
+            mel_or_feats = mel_or_feats[None]
 
     heads = tuple(map(tuple, model.alignment_heads.tolist()))
     token_probs, trace_diags = _alignment_device(
@@ -170,7 +186,7 @@ def find_alignment_batch(
         tokenizer.eot,
         medfilt_width,
         tb - sot_len,
-        mels,
+        mel_or_feats,
         *jax.device_put(  # one round-trip for the per-call host inputs
             (
                 padded,
@@ -179,6 +195,7 @@ def find_alignment_batch(
                 np.float32(qk_scale),
             )
         ),
+        features_given=features is not None,
     )
     # one round-trip for the outputs as well
     token_probs, trace_diags = jax.device_get((token_probs, trace_diags))
@@ -245,18 +262,21 @@ def find_alignment(
     mel,
     num_frames: int,
     *,
+    features=None,  # (Ta, C) encoder features; skips the encoder pass
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
 ) -> List[WordTiming]:
     """Align text tokens to audio frames; parity with timing.py:163-242."""
     if len(text_tokens) == 0:
         return []
-    mel = jnp.asarray(mel)
-    if mel.ndim == 2:
-        mel = mel[None]
+    if features is None:
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
     return find_alignment_batch(
-        model, tokenizer, [text_tokens], mel, [num_frames],
-        medfilt_width=medfilt_width, qk_scale=qk_scale,
+        model, tokenizer, [text_tokens], mel if features is None else None,
+        [num_frames],
+        features=features, medfilt_width=medfilt_width, qk_scale=qk_scale,
     )[0]
 
 
@@ -304,12 +324,14 @@ def add_word_timestamps(
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     last_speech_timestamp: float,
     alignment: Optional[List[WordTiming]] = None,
+    features=None,
     **kwargs,
 ):
     """Attach per-word timings to segments; parity with timing.py:279-388.
 
     ``alignment`` may be precomputed (e.g. by :func:`find_alignment_batch`
-    across many windows); otherwise it is computed here.
+    across many windows); otherwise it is computed here — from ``features``
+    (the window's encoder output, skipping the encoder pass) when given.
     """
     if len(segments) == 0:
         return
@@ -322,7 +344,8 @@ def add_word_timestamps(
     text_tokens = [t for seg in text_tokens_per_segment for t in seg]
     if alignment is None:
         alignment = find_alignment(
-            model, tokenizer, text_tokens, mel, num_frames, **kwargs
+            model, tokenizer, text_tokens, mel, num_frames,
+            features=features, **kwargs
         )
     word_durations = np.array([t.end - t.start for t in alignment])
     word_durations = word_durations[word_durations.nonzero()]

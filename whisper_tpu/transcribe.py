@@ -486,6 +486,9 @@ def transcribe(
                     prepend_punctuations=prepend_punctuations,
                     append_punctuations=append_punctuations,
                     last_speech_timestamp=last_speech_timestamp,
+                    # the decode already encoded this window — skip the
+                    # alignment program's encoder pass
+                    features=getattr(result, "audio_features", None),
                 )
 
                 seek, restart = _refine_seek_with_word_timings(
