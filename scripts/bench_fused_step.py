@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--quantize", action="store_true")
     ap.add_argument("--kv-int8", action="store_true")
     ap.add_argument("--ctx", type=int, default=256)
+    ap.add_argument("--rows", type=int, default=1,
+                    help="query rows B (beam/best-of group of ONE audio)")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--check", action="store_true",
@@ -74,13 +76,14 @@ def main():
     else:
         xk_c, xv_c = xk, xv
     T = args.ctx
+    B = args.rows
     # the XLA bench donates its cache (deleting the cross leaves); give it
     # private copies so the fused inputs survive
     cache = init_kv_cache(
-        dims, 1, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
+        dims, B, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
         jnp.bfloat16, ctx=T,
     )
-    tokens = jnp.asarray([42], jnp.int32)
+    tokens = jnp.asarray([42] * B, jnp.int32)
     t = jnp.int32(16)
 
     # jax.block_until_ready is a NO-OP on the axon remote backend; the only
@@ -117,7 +120,7 @@ def main():
     # them — donating a buffer that is also a live kernel input fails at
     # runtime with an opaque InvalidArgument
     cache_fused = init_kv_cache(
-        dims, 1, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
+        dims, B, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
         jnp.bfloat16, ctx=T,
     )
     if args.skip_xla and not args.check:
@@ -129,9 +132,9 @@ def main():
     if args.check:
         # one-step output agreement, kernel vs XLA scan, ON the TPU (the
         # CPU tests exercise the interpreter, not the Mosaic lowering)
-        h_ref, _ = jax.jit(lambda p, c: decoder_step(p, dims, tokens, t, c))(
-            params, cache
-        )
+        h_ref, _ = jax.jit(
+            lambda p, c: decoder_step(p, dims, tokens, t, c, n_group=B)
+        )(params, cache)
         h_fus, _ = jax.jit(
             lambda p, w, c: decoder_step_fused(
                 p, w[0], dims, tokens, t, c, *w[1:]
@@ -143,7 +146,7 @@ def main():
 
     if not args.skip_xla:
         bench(
-            lambda p, c: decoder_step(p, dims, tokens, t, c),
+            lambda p, c: decoder_step(p, dims, tokens, t, c, n_group=B),
             params, cache, "xla  layer-scan",
         )
         hbm()

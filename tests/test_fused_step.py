@@ -86,6 +86,46 @@ def test_fused_step_matches_decoder_step(params, feats, quantize, kv_int8):
     )
 
 
+@pytest.mark.parametrize("quantize,kv_int8", [(False, False), (True, True)])
+def test_fused_step_matches_decoder_step_grouped(params, feats, quantize, kv_int8):
+    """B=5 rows (one audio's beam/best-of group) parity with the XLA step."""
+    G = 5
+    p = quantize_params(params, scopes=("decoder",)) if quantize else params
+    xk, xv = compute_cross_kv(p, DIMS, feats)  # (L, 1, H, D, Ta)
+    xk_c = quantize_kv(xk) if kv_int8 else xk
+    xv_c = quantize_kv(xv) if kv_int8 else xv
+
+    T, t0 = 64, 9
+    cache = init_kv_cache(DIMS, G, xk_c, xv_c, jnp.float32, ctx=T)
+    rng = np.random.RandomState(2)
+    sk = rng.randn(*cache.self_k.shape).astype(np.float32) * 0.1
+    sk[..., t0:] = 0  # rows hold distinct histories up to t0
+    sv = rng.randn(*cache.self_v.shape).astype(np.float32) * 0.1
+    sv[..., t0:] = 0
+    cache = cache._replace(self_k=jnp.asarray(sk), self_v=jnp.asarray(sv))
+
+    tokens = jnp.asarray([11, 22, 33, 44, 55], jnp.int32)
+    hid_ref, cache_ref = decoder_step(
+        p, DIMS, tokens, jnp.int32(t0), cache, n_group=G
+    )
+
+    pack = pack_fused_weights(p, DIMS)
+    xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
+    hid, cache_f = decoder_step_fused(
+        p, pack, DIMS, tokens, jnp.int32(t0), cache, xkp, xvp, xks, xvs
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(hid), np.asarray(hid_ref), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_f.self_k), np.asarray(cache_ref.self_k), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_f.self_v), np.asarray(cache_ref.self_v), atol=1e-5
+    )
+
+
 @pytest.fixture(scope="module")
 def model(params):
     return Whisper(DIMS, params)
@@ -119,6 +159,29 @@ def test_fused_engine_token_parity(model, mel, kw):
     assert abs(plain[0].avg_logprob - fused[0].avg_logprob) < 1e-4
 
 
+@pytest.mark.parametrize("kw", [
+    {"beam_size": 3},
+    {"beam_size": 2, "patience": 2.0},
+    {"beam_size": 2, "kv_cache_dtype": "int8"},
+    {"temperature": 0.7, "best_of": 3, "seed": 7},
+])
+def test_fused_engine_group_token_parity(model, mel, kw):
+    """Beam / best-of groups decode the same tokens fused as via XLA."""
+    temperature = kw.pop("temperature", 0.0)
+    base = DecodingOptions(
+        language="en", temperature=temperature, sample_len=6, **kw
+    )
+    plain = DecodingTask(
+        model, dataclasses.replace(base, fused_step=False)
+    ).run(mel)
+    fused_task = DecodingTask(model, dataclasses.replace(base, fused_step=True))
+    spec, pack = fused_task._fused_variant(fused_task.spec, 1)
+    assert spec.fused_step and pack is not None and spec.write_block == 0
+    fused = fused_task.run(mel)
+    assert plain[0].tokens == fused[0].tokens
+    assert abs(plain[0].avg_logprob - fused[0].avg_logprob) < 1e-4
+
+
 def test_fused_auto_off_on_cpu(model, mel):
     """Auto policy keeps the XLA engine off-TPU (interpreter is test-only)."""
     task = DecodingTask(model, DecodingOptions(language="en", sample_len=2))
@@ -126,13 +189,16 @@ def test_fused_auto_off_on_cpu(model, mel):
     assert not spec.fused_step and pack is None
 
 
-def test_fused_ineligible_beam(model):
+def test_fused_eligible_beam_single_audio(model):
+    # single-audio beam groups use the fused kernel (rows share cross-KV);
+    # pending write blocks stay off for grouped rows
     task = DecodingTask(
         model,
         DecodingOptions(language="en", beam_size=2, fused_step=True, sample_len=2),
     )
     spec, pack = task._fused_variant(task.spec, 1)
-    assert not spec.fused_step
+    assert spec.fused_step and pack is not None
+    assert spec.write_block == 0
 
 
 def test_fused_ineligible_batch(model):

@@ -175,12 +175,14 @@ class DecodingOptions:
     draft_len: int = 4
 
     # TPU addition: run each decode step as ONE Pallas kernel over all
-    # decoder layers (ops/kernels/fused_step_pallas.py) — the single-stream
-    # latency path.  None = auto (on for TPU, single-audio greedy/sampling,
-    # no beams/draft/mesh); True forces it where eligible (CPU runs the
-    # kernel interpreter — slow, test-only); False always uses the XLA
-    # layer scan.  Outputs agree with the XLA engine to compute-dtype
-    # rounding (attention accumulation order differs inside the kernel).
+    # decoder layers (ops/kernels/fused_step_pallas.py) — the single-audio
+    # latency path: greedy, beam search, or best-of sampling of one audio
+    # (group rows share the audio's cross-KV inside the kernel).  None =
+    # auto (on for TPU single-audio decodes, no draft/mesh); True forces it
+    # where eligible (CPU runs the kernel interpreter — slow, test-only);
+    # False always uses the XLA layer scan.  Outputs agree with the XLA
+    # engine to compute-dtype rounding (attention accumulation order
+    # differs inside the kernel).
     fused_step: Optional[bool] = None
 
 
@@ -309,11 +311,11 @@ class DecodingTask:
                 0 if beam or model.dims.n_text_state < 1024 else 8
             ),
         )
-        # whole-step fused kernel eligibility (batch checked at run time)
+        # whole-step fused kernel eligibility (batch checked at run time):
+        # any single-audio decode — greedy (1 row) or a beam/best-of group
+        # (n_group rows sharing the audio's cross-KV inside the kernel)
         self._fused_ok = (
-            beam == 0
-            and self.n_group == 1
-            and self.draft_model is None
+            self.draft_model is None
             and options.fused_step is not False
             and model.dims.n_text_state % 128 == 0
         )
@@ -560,7 +562,9 @@ class DecodingTask:
         all_bf16 = not is_quantized(
             self.model.params["decoder"]["blocks"]["q_w"]
         ) and self.options.kv_cache_dtype != "int8"
-        wb = 0 if all_bf16 else spec.write_block
+        # pending blocks are single-row only: best-of groups (n_group > 1,
+        # beam 0) fall back to per-step KV writes with the fused kernel
+        wb = 0 if (all_bf16 or self.n_group > 1) else spec.write_block
         return dc_replace(spec, fused_step=True, write_block=wb), pack
 
     def run_with_prompts(self, mel, prompts: List[List[int]]) -> List[DecodingResult]:

@@ -97,8 +97,9 @@ class EngineSpec:
     # stream ~write_block x at the price of <=write_block-1 overrun steps
     # after the stop condition fires (scripts/bench_kv_write.py, block_where)
     write_block: int = 0
-    # run the decoder step as ONE Pallas kernel over all layers (B=1 greedy
-    # only; ops/kernels/fused_step_pallas.py).  Requires a fused_pack arg.
+    # run the decoder step as ONE Pallas kernel over all layers (single
+    # audio: B=1 greedy or B=n_group beam/best-of rows;
+    # ops/kernels/fused_step_pallas.py).  Requires a fused_pack arg.
     fused_step: bool = False
 
 
@@ -348,9 +349,15 @@ def _beam_update(spec: EngineSpec, state: _LoopState, logits):
     # --- new live beams: first `beam` non-EOT candidates in score order ---
     new_mask = processed & ~is_eot
     rank = jnp.cumsum(new_mask, axis=1)
-    sel = jax.vmap(
-        lambda r: jnp.searchsorted(r, jnp.arange(1, beam + 1))
-    )(rank)  # (n_audio, beam) positions into sorted arrays
+    # first position where the running non-EOT count reaches j (rank is
+    # nondecreasing, so argmax finds the first True); a searchsorted here
+    # lowers to a while loop on TPU (~80 us/step measured at beam 5).  At
+    # least `beam` non-EOT candidates always exist: top-k rows contain at
+    # most one EOT each, so beam*(k-1) >= beam survive.
+    targets = jnp.arange(1, beam + 1, dtype=rank.dtype)
+    sel = jnp.argmax(
+        rank[:, None, :] >= targets[None, :, None], axis=-1
+    ).astype(jnp.int32)  # (n_audio, beam) positions into sorted arrays
     sel_tok = jnp.take_along_axis(s_tok, sel, axis=1)  # (n_audio, beam)
     sel_src = jnp.take_along_axis(s_src, sel, axis=1)
     sel_score = jnp.take_along_axis(s_scores, sel, axis=1)
@@ -369,37 +376,51 @@ def _beam_update(spec: EngineSpec, state: _LoopState, logits):
     src_global = (jnp.arange(n_audio)[:, None] * beam + sel_src).reshape(B)
 
     # --- finished sequences: EOT candidates above the cut, appended in score
-    # order until the patience budget is full (decoding.py:367-375) ---
+    # order until the patience budget is full (decoding.py:367-375).  Each
+    # source row's top-k holds at most one EOT, so at most `beam` candidates
+    # can finish per step — extract those instead of gathering token rows
+    # for all beam*k candidates (an 11x smaller gather at beam 5) ---
     fin_mask = processed & is_eot & ~capped_audio[:, None]
     fin_rank = jnp.cumsum(fin_mask, axis=1)
-    write_pos = state.fin_count[:, None] + fin_rank - 1
-    write_pos = jnp.where(
-        fin_mask & (write_pos < spec.max_candidates), write_pos, spec.max_candidates
-    )
+    slot = jnp.arange(1, beam + 1, dtype=fin_rank.dtype)  # (beam,)
+    # first candidate position holding the j-th EOT (score order preserved)
+    cand_idx = jnp.argmax(
+        fin_rank[:, None, :] >= slot[None, :, None], axis=-1
+    )  # (n_audio, beam)
+    has = fin_rank[:, -1:] >= slot[None, :]  # j-th EOT exists at all
+    src_small = jnp.take_along_axis(s_src, cand_idx, axis=1)
+    scores_small = jnp.take_along_axis(s_scores, cand_idx, axis=1)
+    write_pos = state.fin_count[:, None] + jnp.arange(beam)[None, :]
+    valid = has & (write_pos < spec.max_candidates)
+    write_pos = jnp.where(valid, write_pos, spec.max_candidates)
     # finished row content: the source beam's tokens with EOT at position t
     src_rows = (
-        jnp.arange(n_audio)[:, None] * beam + s_src
-    )  # (n_audio, beam*k) global rows
-    fin_rows = tokens[src_rows]  # (n_audio, beam*k, n_ctx+1)
+        jnp.arange(n_audio)[:, None] * beam + src_small
+    )  # (n_audio, beam) global rows
+    fin_rows = tokens[src_rows]  # (n_audio, beam, n_ctx+1)
     t_audio = t.reshape(n_audio, beam)[:, 0]
-    fin_rows = fin_rows.at[
-        jnp.arange(n_audio)[:, None],
-        jnp.arange(beam * k)[None, :],
-        jnp.clip(t_audio, 0, n_ctx1 - 1)[:, None],
-    ].set(spec.eot)
+    fin_rows = jnp.where(
+        jnp.arange(n_ctx1)[None, None, :] == t_audio[:, None, None],
+        spec.eot,
+        fin_rows,
+    )
     fin_tokens = state.fin_tokens.at[
         jnp.arange(n_audio)[:, None], write_pos
     ].set(fin_rows, mode="drop")
     fin_scores = state.fin_scores.at[
         jnp.arange(n_audio)[:, None], write_pos
-    ].set(s_scores, mode="drop")
-    fin_added = jnp.sum(fin_mask & (write_pos < spec.max_candidates), axis=1)
+    ].set(scores_small, mode="drop")
+    fin_added = jnp.sum(valid, axis=1)
     fin_count = state.fin_count + fin_added.astype(jnp.int32)
 
     # --- apply the beam permutation to tokens and KV cache ---
     new_tokens = tokens[src_global]
-    new_tokens = new_tokens.at[jnp.arange(B), t].set(
-        sel_tok.reshape(B), mode="drop"
+    # where-formulation: one streamed select instead of a scatter (out-of-
+    # range t on capped rows matches no column, same as scatter mode="drop")
+    new_tokens = jnp.where(
+        jnp.arange(n_ctx1)[None, :] == t[:, None],
+        sel_tok.reshape(B)[:, None],
+        new_tokens,
     )
 
     # unconditional gather: a lax.cond "skip when identity" here is a trap —
@@ -523,7 +544,9 @@ def decode_engine(
         # (one cheap pad copy per segment), not from the cache pytree
         from .ops.kernels.fused_step_pallas import pad_cross_kv
 
-        assert spec.beam_size == 0 and spec.n_group == 1 and fused_pack is not None
+        # single-audio only: B = n_group rows (1 greedy; beam/best-of group)
+        # all sharing that audio's cross-KV stream inside the kernel
+        assert n_audio == 1 and fused_pack is not None
         xk_pad, xv_pad, xk_s, xv_s = pad_cross_kv(xk_c, xv_c)
     cache = init_kv_cache(dims, B, xk_c, xv_c, compute_dtype, ctx=n_ctx)
     # prefill K/V arrive (L, B, H, P, D); the cache stores time-last

@@ -456,12 +456,14 @@ def decoder_step_fused(
     tokens: jax.Array,  # (B,) int32
     t: jax.Array,  # scalar or (B,) int32
     cache: KVCache,
-    xk_pad: jax.Array,  # (L, B, H, D, Ta_pad) — pad_cross_kv output
+    xk_pad: jax.Array,  # (L, 1, H, D, Ta_pad) — pad_cross_kv output
     xv_pad: jax.Array,
-    xk_s,  # (L, B, H, D) f32 or None
+    xk_s,  # (L, 1, H, D, 1) f32 or None
     xv_s,
 ) -> Tuple[jax.Array, KVCache]:
-    """decoder_step via the whole-step Pallas kernel (B=1 greedy path).
+    """decoder_step via the whole-step Pallas kernel (single-audio decodes:
+    B=1 greedy, or B=n_group beam/best-of rows sharing one audio's cross-KV
+    with a uniform position t).
 
     Same signature contract as :func:`decoder_step` (embedding, all layers,
     final LayerNorm, KV-cache column write), with the L-layer scan replaced

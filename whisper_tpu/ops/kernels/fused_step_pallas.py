@@ -15,9 +15,12 @@ VMEM scratch for the whole 32-layer pass.
 
 Replaces (per step) the reference's per-layer module calls
 (``/root/reference/whisper/model.py:123-146``, hook KV cache 310-341) and
-this repo's XLA layer scan (models/whisper.decoder_step) for the
-single-stream (B=1) greedy path.  The XLA engine remains the fallback for
-batch>1, beams, CPU, and meshes.
+this repo's XLA layer scan (models/whisper.decoder_step) for single-audio
+decodes: B=1 greedy, and B=n_group rows for beam search / best-of sampling
+of ONE audio (all rows share that audio's cross-KV stream, so the dominant
+weight + cross-KV HBM traffic amortizes over the group — the reference
+CLI's default config is beam_size=5 on a single file).  The XLA engine
+remains the fallback for multi-audio batches, CPU, and meshes.
 
 Phase layout per layer (NTA = cross-attention time chunks):
 
@@ -194,13 +197,13 @@ def _gelu_f32(x):
 def fused_decoder_layers(
     pack: FusedPack,
     dims,
-    x: jax.Array,  # (B=1, C) compute dtype — token+position embedding
-    t: jax.Array,  # (B,) i32 — cache positions < t are attended
-    self_k: jax.Array,  # (L, B, H, D, T)
+    x: jax.Array,  # (B, C) compute dtype — token+position embeddings
+    t: jax.Array,  # (B,) i32, uniform — cache positions < t are attended
+    self_k: jax.Array,  # (L, B, H, D, T) — per-row caches
     self_v: jax.Array,
-    xk: jax.Array,  # (L, B, H, D, Ta_pad) int8 or compute dtype
+    xk: jax.Array,  # (L, 1, H, D, Ta_pad) int8 or compute dtype — shared
     xv: jax.Array,
-    xk_s: Optional[jax.Array],  # (L, B, H, D, 1) f32 or None
+    xk_s: Optional[jax.Array],  # (L, 1, H, D, 1) f32 or None
     xv_s: Optional[jax.Array],
     pend_k: Optional[jax.Array] = None,  # (L, B, H, D, W) — deferred KV block
     pend_v: Optional[jax.Array] = None,
@@ -232,13 +235,16 @@ def fused_decoder_layers(
     H = dims.n_text_head
     D = C // H
     B = x.shape[0]
+    A = xk.shape[1]  # audios carrying cross-KV (beams/samples share one)
     T = self_k.shape[-1]
     Ta_pad = xk.shape[-1]
     Ta = dims.n_audio_ctx
-    assert B == 1, "fused step kernel is the single-stream (B=1) path"
+    assert A == 1, "fused step kernel: all rows share one audio's cross-KV"
+    assert self_k.shape[1] == B
     x_int8 = xk.dtype == jnp.int8
     cdtype = x.dtype
     has_pending = pend_k is not None
+    assert not (has_pending and B > 1), "pending KV blocks are B=1 only"
     # cross-attention chunk width: the bf16-weights + pending config would
     # exceed VMEM at 512 (weight tiles 6.6 MB double-buffered + pending
     # blocks); int8 weights leave plenty of headroom
@@ -246,26 +252,39 @@ def fused_decoder_layers(
         256 if (has_pending and pack.w.dtype != jnp.int8 and not x_int8) else _TA_CHUNK
     )
     NTA = Ta_pad // ta_chunk
-    NC = 14 + NTA  # phases/layer: q,k,v,o + xq + NTA cross + xo + 4 fc1 + 4 fc2
+    # phase layout: q, k, v [, one all-rows self-attn phase when B>1], o, xq,
+    # NTA cross chunks, xo, 4 fc1, 4 fc2.  At B=1 self-attention runs inside
+    # the v phase (the proven single-stream layout); at B>1 it gets its own
+    # phase so the (B, H, D, T) self-KV block overlaps the v projection.
+    off = 0 if B == 1 else 1
+    NC = 14 + NTA + off
 
     if xk_s is None:
-        xk_s = jnp.ones((L, B, H, D, 1), jnp.float32)
-        xv_s = jnp.ones((L, B, H, D, 1), jnp.float32)
+        xk_s = jnp.ones((L, A, H, D, 1), jnp.float32)
+        xv_s = jnp.ones((L, A, H, D, 1), jnp.float32)
 
-    c_xo = 5 + NTA
-    c_fc1 = 6 + NTA
-    c_fc2 = 10 + NTA
+    c_o = 3 + off
+    c_xq = 4 + off
+    c_xo = 5 + off + NTA
+    c_fc1 = 6 + off + NTA
+    c_fc2 = 10 + off + NTA
 
     def w_tile_index(l, c):
-        # c<=4 -> tile c | cross chunks hold xq (4) | xo -> 5 | mlp -> c-(NTA-1)-... :
-        # fc1 block i at c = c_fc1+i -> tile 6+i; fc2 block i at c_fc2+i -> 10+i
+        # q/k/v -> tiles 0..2 | self phases + o hold tile 3 | xq + cross
+        # chunks hold 4 | xo -> 5 | fc1 block i -> 6+i | fc2 block i -> 10+i
         tile = jnp.where(
-            c <= 4, c, jnp.where(c < c_xo, 4, jnp.where(c == c_xo, 5, c - (NTA + 0)))
+            c <= 2,
+            c,
+            jnp.where(
+                c <= c_o,
+                3,
+                jnp.where(c < c_xo, 4, jnp.where(c == c_xo, 5, c - (NTA + off))),
+            ),
         )
         return (l, tile, 0, 0)
 
     def cross_chunk_index(l, c):
-        j = jnp.clip(c - 5, 0, NTA - 1)
+        j = jnp.clip(c - c_xq - 1, 0, NTA - 1)
         return (l, 0, 0, 0, j)
 
     W = pend_k.shape[-1] if has_pending else 0
@@ -294,9 +313,10 @@ def fused_decoder_layers(
         kvbuf,  # (2, B, C) cdtype — this layer's k_new/v_new
         fbuf,  # (B, 4C) cdtype — MLP hidden
         facc,  # (B, C) f32 — fc2 accumulation
-        mrow,  # (H, 1, 128) f32 — streaming softmax max (col 0 used)
-        lrow,  # (H, 1, 128) f32 — streaming softmax denom
-        xacc,  # (H, D, 1) f32 — streaming softmax numerator
+        mrow,  # (H, B, 128) f32 — streaming softmax max (col 0 used)
+        lrow,  # (H, B, 128) f32 — streaming softmax denom
+        xacc,  # (H, D, B) f32 — streaming softmax numerator
+        qcol,  # (H, D, B) cdtype — per-head query columns (self, then cross)
     ):
         l = pl.program_id(0)
         c = pl.program_id(1)
@@ -321,15 +341,16 @@ def fused_decoder_layers(
                 y = y + consts_ref[0, 0, bias_off : bias_off + C][None].astype(cdtype)
             return y
 
-        def to_col3(row):
-            """(B=1, C) row -> (H, D, 1) per-head column (Mosaic supports
+        def to_col3(rows):
+            """(B', C) rows -> (H, D, B') per-head columns (Mosaic supports
             the transpose and the lane-preserving sublane split; a direct
             (1, C) -> (H, D) reshape does not lower)."""
-            return row.reshape(1, C).T.reshape(H, D, 1)
+            b_ = rows.shape[0]
+            return rows.reshape(b_, C).T.reshape(H, D, b_)
 
         def to_row(col3):
-            """(H, D, 1) -> (B=1, C) row."""
-            return col3.reshape(C, 1).T
+            """(H, D, B') -> (B', C) rows."""
+            return col3.reshape(C, col3.shape[-1]).T
 
         @pl.when((l == 0) & (c == 0))
         def _init():
@@ -339,6 +360,8 @@ def fused_decoder_layers(
         def _q():
             hbuf[:] = ln(xres[:].astype(jnp.float32), 6 * C).astype(cdtype)
             qbuf[:] = proj(hbuf[:], bias_off=0)
+            # per-head query columns, pre-scaled for self-attention
+            qcol[:] = (to_col3(qbuf[:]) * D**-0.25).astype(cdtype)
 
         @pl.when(c == 1)  # k_new
         def _k():
@@ -346,15 +369,13 @@ def fused_decoder_layers(
             kvbuf[0] = k
             knew_ref[0] = k
 
-        @pl.when(c == 2)  # v_new + full self-attention
-        def _v_attn():
-            v = proj(hbuf[:], bias_off=C)
-            kvbuf[1] = v
-            vnew_ref[0] = v
-
+        def _self_attention_row(b):
+            """Self-attention for query row b against its own cache rows
+            (sk_ref/sv_ref row b).  Writes the attended head outputs into
+            hbuf row b for the o projection."""
             scale = D**-0.25
-            q3 = (to_col3(qbuf[:]) * scale).astype(cdtype)  # (H, D, 1)
-            kc = (sk_ref[0, 0] * scale).astype(cdtype)  # (H, D, T)
+            q3 = qcol[:, :, b : b + 1]  # (H, D, 1), pre-scaled
+            kc = (sk_ref[0, b] * scale).astype(cdtype)  # (H, D, T)
             s_old = jnp.sum(
                 q3.astype(jnp.float32) * kc.astype(jnp.float32),
                 axis=1, keepdims=True,
@@ -363,7 +384,7 @@ def fused_decoder_layers(
                 jax.lax.broadcasted_iota(jnp.int32, (H, 1, T), 2) < t_now
             )
             s_old = jnp.where(pos_ok, s_old, NEG_INF)
-            kn3 = (to_col3(kvbuf[0]) * scale).astype(cdtype)
+            kn3 = (to_col3(kvbuf[0, b : b + 1]) * scale).astype(cdtype)
             s_new = jnp.sum(
                 (q3 * kn3).astype(jnp.float32), axis=1, keepdims=True
             )  # (H, 1, 1)
@@ -396,7 +417,7 @@ def fused_decoder_layers(
                 denom = denom + jnp.sum(p_pend, axis=2, keepdims=True)
             w_old = (p_old / denom).astype(cdtype)
             w_new = p_new / denom  # (H, 1, 1) f32
-            vc = sv_ref[0, 0]  # (H, D, T)
+            vc = sv_ref[0, b]  # (H, D, T)
             attn = jnp.sum(
                 w_old.astype(jnp.float32) * vc.astype(jnp.float32),
                 axis=2, keepdims=True,
@@ -408,64 +429,119 @@ def fused_decoder_layers(
                     * pv_ref[0, 0].astype(jnp.float32),
                     axis=2, keepdims=True,
                 )
-            attn = attn + w_new * to_col3(kvbuf[1]).astype(jnp.float32)
-            hbuf[:] = to_row(attn.astype(cdtype))  # stash for o proj
+            attn = attn + w_new * to_col3(kvbuf[1, b : b + 1]).astype(jnp.float32)
+            hbuf[b : b + 1] = to_row(attn.astype(cdtype))  # stash for o proj
 
-        @pl.when(c == 3)  # o proj + residual; ln2
+        if B == 1:
+
+            @pl.when(c == 2)  # v_new + full self-attention
+            def _v_attn():
+                v = proj(hbuf[:], bias_off=C)
+                kvbuf[1] = v
+                vnew_ref[0] = v
+                _self_attention_row(0)
+
+        else:
+
+            @pl.when(c == 2)  # v_new (attention runs in its own phase)
+            def _v():
+                v = proj(hbuf[:], bias_off=C)
+                kvbuf[1] = v
+                vnew_ref[0] = v
+
+            @pl.when(c == 3)  # self-attention, every query row vs its cache
+            def _self_rows():
+                for b in range(B):
+                    _self_attention_row(b)
+
+        @pl.when(c == c_o)  # o proj + residual; ln2
         def _o():
             xres[:] = xres[:] + proj(hbuf[:], bias_off=2 * C)
             hbuf[:] = ln(xres[:].astype(jnp.float32), 8 * C).astype(cdtype)
 
-        @pl.when(c == 4)  # xq; init streaming softmax
+        @pl.when(c == c_xq)  # xq; init streaming softmax
         def _xq():
             qbuf[:] = proj(hbuf[:], bias_off=3 * C)
-            mrow[:] = jnp.full((H, 1, 128), NEG_INF, jnp.float32)
-            lrow[:] = jnp.zeros((H, 1, 128), jnp.float32)
-            xacc[:] = jnp.zeros((H, D, 1), jnp.float32)
-
-        @pl.when((c >= 5) & (c < c_xo))  # cross-attention chunk
-        def _cross():
-            j = c - 5
-            # int8 K/V convert straight to f32 — int8 values are exact in
-            # both bf16 and f32, and Mosaic lacks a 3D int8->bf16 cast
             if x_int8:
                 # fold d^-0.5 and per-channel K scales into q (as the XLA
                 # int8 cross path does, models.whisper._cross_step_attention)
-                q3 = (
+                qcol[:] = (
                     to_col3(qbuf[:]).astype(jnp.float32)
                     * (D**-0.5)
                     * xks_ref[0, 0]
-                ).astype(cdtype)  # (H, D, 1)
+                ).astype(cdtype)
+            else:
+                qcol[:] = (to_col3(qbuf[:]) * D**-0.25).astype(cdtype)
+            mrow[:] = jnp.full((H, B, 128), NEG_INF, jnp.float32)
+            lrow[:] = jnp.zeros((H, B, 128), jnp.float32)
+            xacc[:] = jnp.zeros((H, D, B), jnp.float32)
+
+        @pl.when((c > c_xq) & (c < c_xo))  # cross-attention chunk
+        def _cross():
+            j = c - c_xq - 1
+            # int8 K/V convert straight to f32 — int8 values are exact in
+            # both bf16 and f32, and Mosaic lacks a 3D int8->bf16 cast
+            if x_int8:
                 kc32 = xk_ref[0, 0].astype(jnp.float32)  # (H, D, TC)
             else:
                 scale = D**-0.25
-                q3 = (to_col3(qbuf[:]) * scale).astype(cdtype)
                 kc32 = (xk_ref[0, 0] * scale).astype(cdtype).astype(jnp.float32)
-            s = jnp.sum(
-                q3.astype(jnp.float32) * kc32,
-                axis=1, keepdims=True,
-            )  # (H, 1, TC) f32
-            col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, ta_chunk), 2)
-            s = jnp.where(col + j * ta_chunk < Ta, s, NEG_INF)
-
-            m_prev = mrow[:, :, :1]  # (H, 1, 1)
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
-            corr = jnp.exp(m_prev - m_new)  # (H, 1, 1)
-            p = jnp.exp(s - m_new)  # (H, 1, TC) f32
             vc32 = xv_ref[0, 0].astype(jnp.float32)  # (H, D, TC); int8/bf16
-            pv = jnp.sum(
-                p.astype(cdtype).astype(jnp.float32) * vc32,
-                axis=2, keepdims=True,
-            )  # (H, D, 1)
-            mrow[:, :, :1] = m_new
-            lrow[:, :, :1] = lrow[:, :, :1] * corr + jnp.sum(
-                p, axis=2, keepdims=True
-            )
-            xacc[:] = xacc[:] * corr + pv
+            col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, ta_chunk), 2)
+            valid = col + j * ta_chunk < Ta
+            if B == 1:
+                # single row: VPU broadcast-reduce (the proven b=1 path)
+                q3 = qcol[:, :, :1]  # (H, D, 1)
+                s = jnp.sum(
+                    q3.astype(jnp.float32) * kc32,
+                    axis=1, keepdims=True,
+                )  # (H, 1, TC) f32
+                s = jnp.where(valid, s, NEG_INF)
+
+                m_prev = mrow[:, :, :1]  # (H, 1, 1)
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+                corr = jnp.exp(m_prev - m_new)  # (H, 1, 1)
+                p = jnp.exp(s - m_new)  # (H, 1, TC) f32
+                pv = jnp.sum(
+                    p.astype(cdtype).astype(jnp.float32) * vc32,
+                    axis=2, keepdims=True,
+                )  # (H, D, 1)
+                mrow[:, :, :1] = m_new
+                lrow[:, :, :1] = lrow[:, :, :1] * corr + jnp.sum(
+                    p, axis=2, keepdims=True
+                )
+                xacc[:] = xacc[:] * corr + pv
+            else:
+                # row group: per-head MXU dot_generals over all B rows at
+                # once (same inputs as the row loop; f32 accumulation, MXU
+                # summation order) — int8/bf16 K/V values are exact in the
+                # compute dtype
+                kc_c = kc32.astype(cdtype)  # (H, D, TC)
+                vc_c = vc32.astype(cdtype)
+                s = jax.lax.dot_general(
+                    qcol[:], kc_c, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (H, B, TC) f32
+                s = jnp.where(valid, s, NEG_INF)
+
+                m_prev = mrow[:, :, :1]  # (H, B, 1)
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+                corr = jnp.exp(m_prev - m_new)  # (H, B, 1)
+                p = jnp.exp(s - m_new)  # (H, B, TC) f32
+                pv = jax.lax.dot_general(
+                    vc_c, p.astype(cdtype), (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (H, D, B) f32
+                mrow[:, :, :1] = m_new
+                lrow[:, :, :1] = lrow[:, :, :1] * corr + jnp.sum(
+                    p, axis=2, keepdims=True
+                )
+                xacc[:] = xacc[:] * jnp.transpose(corr, (0, 2, 1)) + pv
 
         @pl.when(c == c_xo)  # finish cross-attn; xo proj + residual; ln3
         def _xo():
-            out = xacc[:] / lrow[:, :, :1]  # (H, D, 1)
+            denom = jnp.transpose(lrow[:, :, :1], (0, 2, 1))  # (H, 1, B)
+            out = xacc[:] / denom  # (H, D, B)
             if x_int8:
                 out = out * xvs_ref[0, 0]
             hbuf[:] = to_row(out.astype(cdtype))
@@ -559,17 +635,17 @@ def fused_decoder_layers(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, B, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
+                (1, 1, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, B, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
+                (1, 1, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, B, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
+                (1, 1, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, B, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
+                (1, 1, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -600,12 +676,17 @@ def fused_decoder_layers(
             pltpu.VMEM((2, B, C), cdtype),  # kvbuf
             pltpu.VMEM((B, 4 * C), cdtype),  # fbuf
             pltpu.VMEM((B, C), jnp.float32),  # facc
-            pltpu.VMEM((H, 1, 128), jnp.float32),  # mrow
-            pltpu.VMEM((H, 1, 128), jnp.float32),  # lrow
-            pltpu.VMEM((H, D, 1), jnp.float32),  # xacc
+            pltpu.VMEM((H, B, 128), jnp.float32),  # mrow
+            pltpu.VMEM((H, B, 128), jnp.float32),  # lrow
+            pltpu.VMEM((H, D, B), jnp.float32),  # xacc
+            pltpu.VMEM((H, D, B), cdtype),  # qcol
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # B>1 (beam/best-of rows): per-row self-KV blocks + double-
+            # buffered weight tiles + cross chunks total ~17 MB at beam 5;
+            # raise the compiler's VMEM budget accordingly
+            **({"vmem_limit_bytes": 48 * 1024 * 1024} if B > 1 else {}),
         ),
         interpret=interpret,
     )
