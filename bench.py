@@ -42,6 +42,9 @@ SUITE = [
     ("b1_int8_kvint8", dict(batch=1, quantize="int8", kv_int8=True)),
     ("b16_bf16", dict(batch=16)),
     ("b16_int8_kvint8", dict(batch=16, quantize="int8", kv_int8=True)),
+    # the reference CLI's default config: beam_size=5, one file
+    ("beam5_b1", dict(batch=1, beam=5)),
+    ("beam5_b1_int8_kvint8", dict(batch=1, beam=5, quantize="int8", kv_int8=True)),
     ("beam5_b8", dict(batch=8, beam=5)),
     ("e2e_b16", dict(batch=16, e2e=True)),
 ]
