@@ -332,8 +332,11 @@ def fused_decoder_layers(
 
         def proj(h, bias_off=None):
             """h (B, C) @ resident tile, scaled, cast, plus optional bias."""
+            wt = w_ref[0, 0]
+            if wt.dtype == jnp.int8:
+                wt = wt.astype(jnp.float32)
             y = jnp.dot(
-                h, w_ref[0, 0].astype(cdtype), preferred_element_type=jnp.float32
+                h, wt.astype(cdtype), preferred_element_type=jnp.float32
             )
             y = y * ws_ref[0, 0, 0][None]
             y = y.astype(cdtype)
