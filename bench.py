@@ -13,7 +13,8 @@ emit EOT, so the token count is pinned for comparability).
 
 Default (no flags): a SUITE of the configurations the judged verdict tracks
 — b1 bf16 (fused-step kernel), b1 int8+kv-int8, b16 bf16, b16
-int8+kv-int8, beam-5 b8, e2e b16 — each timed ``--repeats`` times with
+int8+kv-int8, beam-5 b1/b8, e2e b16, one chunked 5-minute file — each
+timed ``--repeats`` times with
 median/min/max reported, plus an HBM-bandwidth probe before and after to
 flag noisy-neighbor contention on the shared chip.  The single JSON line
 keeps the driver contract (metric/value/unit/vs_baseline = the b16 bf16
@@ -47,6 +48,18 @@ SUITE = [
     ("beam5_b1_int8_kvint8", dict(batch=1, beam=5, quantize="int8", kv_int8=True)),
     ("beam5_b8", dict(batch=8, beam=5)),
     ("e2e_b16", dict(batch=16, e2e=True)),
+    # ONE long file, chunked-parallel (transcribe_chunked) — the sequential
+    # reference loop runs this at b1 throughput; chunking batches it.
+    # 405 s -> exactly 16 chunks at the default 5 s overlap: the one-round
+    # case with no padding rows (chunk count vs engine rows is the user's
+    # file length, not a tunable; this row measures the stitched pipeline
+    # at full engine occupancy).  without_timestamps pins one decode round
+    # per window in BOTH the chunked and any sequential comparison: random
+    # weights otherwise emit mid-window timestamps whose partial seek
+    # advances re-decode each chunk's tail at the pinned token count — an
+    # artifact real checkpoints don't have (docs/BENCHMARKS.md, chunked
+    # section, has the 2x2 with/without table)
+    ("e2e_chunked_405s", dict(chunked_minutes=6.75, without_timestamps=True)),
 ]
 HEADLINE_ROW = "b16_bf16"
 
@@ -90,6 +103,8 @@ def run_config(
     draft=None,
     draft_len=4,
     force_accept=False,
+    chunked_minutes=None,
+    without_timestamps=False,
 ):
     """Build the model, compile, time `repeats` runs; returns (metric, [s])."""
     import jax
@@ -138,6 +153,31 @@ def run_config(
         + ("_words" if word_timestamps else "")
     )
     kv_dtype = "int8" if kv_int8 else None
+
+    if chunked_minutes:
+        # ONE long file through transcribe_chunked: fixed overlapping 30 s
+        # chunks decoded as a batch, segments stitched at overlap midpoints
+        from whisper_tpu.chunked import transcribe_chunked
+
+        seconds = chunked_minutes * 60.0
+        metric = (
+            f"rtf_{model_name.replace('-', '_')}_chunked{chunked_minutes:g}m"
+            + ("_nots" if without_timestamps else "")
+        )
+        audio = (rng.randn(int(16000 * seconds)) * 0.1 * 32768.0).astype(np.int16)
+        kw = dict(
+            batch_size=batch, language="en", temperature=0.0,
+            sample_len=tokens, kv_cache_dtype=kv_dtype,
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None, without_timestamps=without_timestamps,
+        )
+        transcribe_chunked(model, audio, **kw)  # warmup/compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            transcribe_chunked(model, audio, **kw)
+            times.append(time.perf_counter() - t0)
+        return metric, [seconds / t for t in times]
 
     if e2e:
         # the product path: transcribe_batch on `batch` synthetic 30 s files —

@@ -16,6 +16,7 @@ from typing import List, Optional, Union
 
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim
 from .batch import transcribe_batch
+from .chunked import transcribe_chunked
 from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models import ModelDimensions, Whisper
 from .streaming import StreamingTranscriber
@@ -28,6 +29,7 @@ Whisper.decode = decode
 Whisper.detect_language = detect_language
 Whisper.transcribe = transcribe
 Whisper.transcribe_batch = transcribe_batch
+Whisper.transcribe_chunked = transcribe_chunked
 
 # official checkpoint registry (reference whisper/__init__.py:17-32); the
 # SHA256 is embedded in the URL path and verified after download
@@ -235,5 +237,6 @@ __all__ = [
     "pad_or_trim",
     "transcribe",
     "transcribe_batch",
+    "transcribe_chunked",
     "__version__",
 ]

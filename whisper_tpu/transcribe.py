@@ -636,6 +636,14 @@ def cli():
                                help="smaller model that drafts tokens for speculative greedy "
                                "decoding (token-exact with plain greedy); e.g. 'turbo' when "
                                "--model large-v3")),
+        # TPU extension (no reference analog): parallel chunked long-form
+        ("--chunked", dict(type=str2bool, default=False,
+                           help="decode fixed overlapping 30s chunks of each file as one "
+                           "batch instead of walking windows sequentially (faster on long "
+                           "files; disables cross-window prompt conditioning)")),
+        ("--chunk_overlap", dict(type=float, default=5.0,
+                                 help="seconds of audio shared between consecutive chunks "
+                                 "in --chunked mode")),
     ]
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter
@@ -689,9 +697,24 @@ def cli():
     if args["max_words_per_line"] and args["max_line_width"]:
         warnings.warn("--max_words_per_line has no effect with --max_line_width")
     writer_args = {arg: args.pop(arg) for arg in word_options}
+    chunked = args.pop("chunked")
+    chunk_overlap = args.pop("chunk_overlap")
+    if chunked:
+        from .chunked import transcribe_chunked
+
+        # chunked mode decodes chunks independently; drop the options it
+        # rejects (the default True would otherwise always raise)
+        args.pop("condition_on_previous_text", None)
+        args.pop("clip_timestamps", None)
     for audio_path in args.pop("audio"):
         try:
-            result = transcribe(model, audio_path, temperature=temperature, **args)
+            if chunked:
+                result = transcribe_chunked(
+                    model, audio_path, chunk_overlap=chunk_overlap,
+                    temperature=temperature, **args,
+                )
+            else:
+                result = transcribe(model, audio_path, temperature=temperature, **args)
             writer(result, audio_path, **writer_args)
         except Exception as e:
             traceback.print_exc()
