@@ -14,6 +14,7 @@ import urllib.request
 import warnings
 from typing import List, Optional, Union
 
+from .align import align
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim
 from .batch import transcribe_batch
 from .chunked import transcribe_chunked
@@ -27,6 +28,7 @@ from .version import __version__
 # model.py:343-345, done here to avoid circular imports)
 Whisper.decode = decode
 Whisper.detect_language = detect_language
+Whisper.align = align
 Whisper.transcribe = transcribe
 Whisper.transcribe_batch = transcribe_batch
 Whisper.transcribe_chunked = transcribe_chunked
@@ -223,6 +225,7 @@ def load_model(
 
 
 __all__ = [
+    "align",
     "DecodingOptions",
     "DecodingResult",
     "ModelDimensions",
