@@ -13,7 +13,9 @@ import whisper_tpu
 from whisper_tpu.audio import CHUNK_LENGTH, SAMPLE_RATE
 from whisper_tpu.chunked import (
     chunk_offsets,
+    detect_file_language,
     merge_chunk_segments,
+    owned_segments,
     transcribe_chunked,
 )
 from whisper_tpu.models.whisper import Whisper
@@ -74,6 +76,39 @@ def test_merge_rebases_words_and_does_not_mutate():
     assert merged[0]["words"][0]["end"] == 29.0
     assert words[0]["start"] == 3.0  # input untouched
     assert chunk1[0]["start"] == 3.0
+
+
+def test_owned_segments_stream_equals_merge():
+    """Per-chunk ownership is decided by the offsets alone: emitting each
+    chunk's owned_segments as its result lands (streaming) reproduces the
+    merged list exactly, modulo global id renumbering."""
+    chunk0 = [_seg(0.0, 10.0, " a"), _seg(24.0, 30.0, " dup")]
+    chunk1 = [_seg(0.0, 4.0, " dup"), _seg(4.0, 10.0, " b"),
+              _seg(27.0, 30.0, " c")]
+    chunk2 = [_seg(4.0, 8.0, " c"), _seg(8.0, 12.0, " d")]
+    offsets = [0.0, 25.0, 50.0]
+    merged = merge_chunk_segments([chunk0, chunk1, chunk2], offsets)
+    streamed = []
+    for i, segs in enumerate([chunk0, chunk1, chunk2]):
+        for seg in owned_segments(segs, i, offsets):
+            streamed.append(dict(seg, id=len(streamed)))
+    assert streamed == merged
+    # inputs untouched
+    assert chunk1[0]["start"] == 0.0 and chunk2[0]["start"] == 4.0
+
+
+def test_detect_file_language_english_only():
+    """English-only models skip detection entirely (reference
+    transcribe.py:334-345 does the same via tokenizer coercion)."""
+
+    class _Fake:
+        is_multilingual = False
+
+        def detect_language(self, mel):  # pragma: no cover - must not run
+            raise AssertionError("detection must be skipped for .en models")
+
+    wave = np.zeros(SAMPLE_RATE, np.float32)
+    assert detect_file_language(_Fake(), wave) == "en"
 
 
 def test_merge_requires_matching_lengths():

@@ -229,6 +229,139 @@ def test_mesh_server_matches_single_device(model):
     ] == [[s["tokens"] for s in r["segments"]] for r in sharded]
 
 
+def test_batcher_chunked_matches_transcribe_chunked(model):
+    """submit_chunked (chunks as parallel batcher requests) must reproduce
+    transcribe_chunked exactly: same per-chunk decode, same stitching."""
+    from whisper_tpu.chunked import transcribe_chunked
+
+    audio = _tone(seconds=40.0, seed=7)  # > 30 s -> two chunks
+    with BatchingTranscriber(model, batch_size=4, max_wait_s=0.3, **OPTS) as bt:
+        served = bt.submit_chunked(audio).result(timeout=600)
+        stats = dict(bt.stats)
+    assert stats["requests"] == 2  # one request per chunk
+    direct = transcribe_chunked(model, audio, verbose=None, **OPTS)
+    assert served["text"] == direct["text"]
+    assert served["language"] == direct["language"]
+    assert [s["tokens"] for s in served["segments"]] == [
+        s["tokens"] for s in direct["segments"]
+    ]
+    assert [(s["id"], s["start"], s["end"], s["seek"])
+            for s in served["segments"]] == [
+        (s["id"], s["start"], s["end"], s["seek"]) for s in direct["segments"]
+    ]
+
+
+def test_batcher_chunked_rejects_conditioning(model):
+    with BatchingTranscriber(model, batch_size=2, max_wait_s=0.1, **OPTS) as bt:
+        with pytest.raises(ValueError):
+            bt.submit_chunked(_tone(), condition_on_previous_text=True)
+
+
+def test_batcher_chunked_propagates_chunk_failure(model):
+    """A failing chunk fails the stitched future, not a hang."""
+    with BatchingTranscriber(model, batch_size=2, max_wait_s=0.1, **OPTS) as bt:
+        real = bt._transcribe_batch
+
+        def flaky(model_, audios, **kw):
+            # the trailing 15 s chunk of a 40 s file fails persistently
+            # (also under the batcher's per-item retry)
+            if any(np.asarray(a).shape[0] < 20 * 16000 for a in audios):
+                raise RuntimeError("injected chunk failure")
+            return real(model_, audios, **kw)
+
+        bt._transcribe_batch = flaky
+        fut = bt.submit_chunked(_tone(seconds=40.0, seed=8))
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=600)
+
+
+def test_http_chunked_end_to_end(model):
+    """?chunked=true returns the stitched transcribe_chunked result shape;
+    on a sub-30s file it matches the non-chunked response exactly."""
+    from conftest import JFK
+
+    server = make_server(model, port=0, batch_size=4, max_wait_s=0.1, **OPTS)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", server.server_port, timeout=600
+        )
+        with open(JFK, "rb") as f:
+            payload = f.read()
+        conn.request("POST", "/v1/audio/transcriptions", body=payload)
+        plain = json.loads(conn.getresponse().read())
+        conn.request(
+            "POST",
+            "/v1/audio/transcriptions?chunked=true&chunk_overlap=5.0",
+            body=payload,
+        )
+        resp = conn.getresponse()
+        chunked = json.loads(resp.read())
+        assert resp.status == 200, chunked
+        assert chunked["text"] == plain["text"]
+        assert len(chunked["segments"]) == len(plain["segments"])
+
+        # contradictory options -> 400, not a wedged request
+        conn.request(
+            "POST",
+            "/v1/audio/transcriptions?chunked=true"
+            "&condition_on_previous_text=true",
+            body=payload,
+        )
+        r = conn.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 400, body
+        conn.close()
+    finally:
+        server.shutdown()
+        server.batcher.close(drain=False)
+
+
+def test_http_chunked_streaming_response(model):
+    """?chunked=true&stream=true streams each chunk's owned segments as its
+    decode lands: NDJSON segments with globally renumbered ids, then a done
+    line whose text is the concatenation."""
+    import io
+    import wave as wave_mod
+
+    server = make_server(model, port=0, batch_size=4, max_wait_s=0.1, **OPTS)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        pcm = (_tone(seconds=70.0, seed=21) * 32767 * 0.05).astype(np.int16)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", server.server_port, timeout=600
+        )
+        conn.request(
+            "POST",
+            "/v1/audio/transcriptions?chunked=true&stream=true",
+            body=buf.getvalue(),
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "application/x-ndjson"
+        lines = [json.loads(l) for l in resp.read().decode().splitlines() if l]
+        conn.close()
+
+        assert lines[-1].get("done") is True
+        segments = [l for l in lines if "done" not in l]
+        assert "error" not in lines[-1], lines[-1]
+        assert [s["id"] for s in segments] == list(range(len(segments)))
+        starts = [s["start"] for s in segments]
+        assert starts == sorted(starts)  # absolute, monotonic across chunks
+        assert lines[-1]["text"] == "".join(s["text"] for s in segments)
+    finally:
+        server.shutdown()
+        server.batcher.close(drain=False)
+
+
 def test_http_streaming_response(model):
     """?stream=true sends segments incrementally: the first NDJSON line
     arrives well before the full transcription completes."""

@@ -26,7 +26,36 @@ import numpy as np
 from .audio import CHUNK_LENGTH, FRAMES_PER_SECOND, SAMPLE_RATE, load_audio
 from .utils import format_timestamp, make_safe
 
-__all__ = ["transcribe_chunked", "chunk_offsets", "merge_chunk_segments"]
+__all__ = [
+    "transcribe_chunked",
+    "chunk_offsets",
+    "detect_file_language",
+    "merge_chunk_segments",
+    "owned_segments",
+]
+
+
+def detect_file_language(model, wave: np.ndarray, verbose=None) -> str:
+    """One language for a whole file, from its first 30 s (the reference's
+    policy, transcribe.py:334-345) — per-chunk detection could disagree
+    across chunks of one recording."""
+    if not model.is_multilingual:
+        return "en"
+    from .audio import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+    from .tokenizer import LANGUAGES
+
+    head = wave[:N_SAMPLES]
+    head = (
+        head.astype(np.float32) / 32768.0
+        if head.dtype == np.int16
+        else head.astype(np.float32)
+    )
+    mel = log_mel_spectrogram(pad_or_trim(head), model.dims.n_mels)
+    _, probs = model.detect_language(mel)
+    language = max(probs, key=probs.get)
+    if verbose is not None:
+        print(f"Detected language: {LANGUAGES[language].title()}")
+    return language
 
 
 def chunk_offsets(
@@ -48,6 +77,53 @@ def chunk_offsets(
     return offsets
 
 
+def owned_segments(
+    segments: Sequence[dict],
+    index: int,
+    offsets_sec: Sequence[float],
+    chunk_length: float = float(CHUNK_LENGTH),
+) -> List[dict]:
+    """Chunk ``index``'s OWNED segments, rebased to absolute time.
+
+    A chunk owns the region between the midpoints of its overlaps with its
+    neighbors (boundaries are fixed by the offsets alone, so ownership
+    needs no neighbor results — streaming can emit chunk i's segments the
+    moment its decode lands); a segment belongs to the chunk that owns the
+    segment's own midpoint.  Times/seeks/words are rebased by the chunk
+    offset; ``id`` is left as-is (renumbered by the caller).  Inputs are
+    not mutated.
+    """
+    off = offsets_sec[index]
+    lo = (
+        (offsets_sec[index] + offsets_sec[index - 1] + chunk_length) / 2.0
+        if index > 0
+        else -np.inf
+    )
+    hi = (
+        (offsets_sec[index + 1] + offsets_sec[index] + chunk_length) / 2.0
+        if index < len(offsets_sec) - 1
+        else np.inf
+    )
+    kept: List[dict] = []
+    for seg in segments:
+        mid = off + (seg["start"] + seg["end"]) / 2.0
+        if not (lo <= mid < hi):
+            continue
+        out = dict(
+            seg,
+            seek=seg["seek"] + int(round(off * FRAMES_PER_SECOND)),
+            start=seg["start"] + off,
+            end=seg["end"] + off,
+        )
+        if seg.get("words"):
+            out["words"] = [
+                dict(w, start=w["start"] + off, end=w["end"] + off)
+                for w in seg["words"]
+            ]
+        kept.append(out)
+    return kept
+
+
 def merge_chunk_segments(
     chunk_segments: Sequence[Sequence[dict]],
     offsets_sec: Sequence[float],
@@ -55,42 +131,15 @@ def merge_chunk_segments(
 ) -> List[dict]:
     """Stitch per-chunk segment lists into one absolute-time list.
 
-    Each chunk owns the time region up to the MIDPOINT of its overlap with
-    the next chunk; a segment belongs to the chunk that owns the segment's
-    own midpoint.  Segment/word times and seeks are rebased by the chunk
-    offset; ids are renumbered globally.  Pure function (unit-tested
-    directly); inputs are not mutated.
+    Concatenation of :func:`owned_segments` over all chunks with globally
+    renumbered ids.  Pure function (unit-tested directly).
     """
     if len(chunk_segments) != len(offsets_sec):
         raise ValueError("one offset per chunk required")
-    # ownership boundary between chunk i and i+1: midpoint of their overlap
-    # [offsets[i+1], offsets[i] + chunk_length]
-    bounds = [
-        (offsets_sec[i + 1] + offsets_sec[i] + chunk_length) / 2.0
-        for i in range(len(offsets_sec) - 1)
-    ]
     merged: List[dict] = []
     for i, segments in enumerate(chunk_segments):
-        lo = bounds[i - 1] if i > 0 else -np.inf
-        hi = bounds[i] if i < len(bounds) else np.inf
-        off = offsets_sec[i]
-        for seg in segments:
-            mid = off + (seg["start"] + seg["end"]) / 2.0
-            if not (lo <= mid < hi):
-                continue
-            out = dict(
-                seg,
-                id=len(merged),
-                seek=seg["seek"] + int(round(off * FRAMES_PER_SECOND)),
-                start=seg["start"] + off,
-                end=seg["end"] + off,
-            )
-            if seg.get("words"):
-                out["words"] = [
-                    dict(w, start=w["start"] + off, end=w["end"] + off)
-                    for w in seg["words"]
-                ]
-            merged.append(out)
+        for seg in owned_segments(segments, i, offsets_sec, chunk_length):
+            merged.append(dict(seg, id=len(merged)))
     return merged
 
 
@@ -116,7 +165,6 @@ def transcribe_chunked(
     and ``clip_timestamps`` (use sequential ``transcribe`` for clips).
     """
     from .batch import transcribe_batch
-    from .tokenizer import LANGUAGES
 
     if options.pop("condition_on_previous_text", False):
         raise ValueError(
@@ -132,25 +180,8 @@ def transcribe_chunked(
         wave = wave.reshape(-1)
     offsets = chunk_offsets(wave.shape[0], chunk_overlap)
 
-    # one language for the whole file: detect on the first chunk (the
-    # reference detects on the first 30 s, transcribe.py:334-345); per-chunk
-    # detection could disagree across chunks of one recording
     if options.get("language") is None:
-        if not model.is_multilingual:
-            options["language"] = "en"
-        else:
-            from .audio import log_mel_spectrogram, pad_or_trim, N_SAMPLES
-
-            mel = log_mel_spectrogram(
-                pad_or_trim(wave[: N_SAMPLES].astype(np.float32)
-                            if wave.dtype != np.int16
-                            else wave[:N_SAMPLES].astype(np.float32) / 32768.0),
-                model.dims.n_mels,
-            )
-            _, probs = model.detect_language(mel)
-            options["language"] = max(probs, key=probs.get)
-            if verbose is not None:
-                print(f"Detected language: {LANGUAGES[options['language']].title()}")
+        options["language"] = detect_file_language(model, wave, verbose=verbose)
 
     chunk_samples = CHUNK_LENGTH * SAMPLE_RATE
     chunks = [wave[o : o + chunk_samples] for o in offsets]

@@ -33,6 +33,8 @@ from concurrent.futures import Future
 from concurrent.futures import TimeoutError as FutureTimeoutError
 from typing import Any, Dict, List, Optional
 
+import numpy as np
+
 __all__ = ["BatchingTranscriber", "make_server", "serve"]
 
 
@@ -130,6 +132,90 @@ class BatchingTranscriber:
     def transcribe(self, audio, timeout: Optional[float] = None, **overrides):
         """Synchronous convenience wrapper over submit()."""
         return self.submit(audio, **overrides).result(timeout)
+
+    def submit_chunk_futures(
+        self, audio, chunk_overlap: float = 5.0, priority: bool = False,
+        **overrides,
+    ):
+        """Split ONE long audio into fixed overlapping 30 s chunks and queue
+        each as its own request; returns ``(offsets_sec, futures)``.
+
+        The chunks share one options group, so they coalesce into the same
+        device batches as each other (and as any concurrent requests with
+        the same options).  Ownership boundaries are fixed by the offsets
+        (chunked.owned_segments), so a caller can emit chunk i's stitched
+        segments as soon as futures[i] resolves — no waiting on neighbors.
+        """
+        from .audio import SAMPLE_RATE, load_audio
+        from .chunked import chunk_offsets, detect_file_language
+
+        if overrides.pop("condition_on_previous_text", False):
+            raise ValueError(
+                "chunked requests decode chunks independently; "
+                "condition_on_previous_text=True requires a non-chunked request"
+            )
+        wave = load_audio(audio) if isinstance(audio, str) else np.asarray(audio)
+        if wave.ndim != 1:
+            wave = wave.reshape(-1)
+        language = overrides.get("language", self.defaults.get("language"))
+        if language is None:
+            language = detect_file_language(self.model, wave)
+        offsets = chunk_offsets(wave.shape[0], chunk_overlap)
+        chunk_samples = 30 * SAMPLE_RATE
+        futures = [
+            self.submit(
+                wave[o : o + chunk_samples],
+                priority=priority,
+                condition_on_previous_text=False,
+                language=language,
+                **{k: v for k, v in overrides.items() if k != "language"},
+            )
+            for o in offsets
+        ]
+        return [o / SAMPLE_RATE for o in offsets], futures
+
+    def submit_chunked(
+        self, audio, chunk_overlap: float = 5.0, priority: bool = False,
+        **overrides,
+    ) -> Future:
+        """Queue one long audio as parallel chunks; returns a Future of the
+        stitched ``{"text", "segments", "language"}`` dict (the
+        ``transcribe_chunked`` result shape)."""
+        from .chunked import merge_chunk_segments
+
+        offsets_sec, futures = self.submit_chunk_futures(
+            audio, chunk_overlap=chunk_overlap, priority=priority, **overrides
+        )
+        out: Future = Future()
+        lock = threading.Lock()
+        remaining = [len(futures)]
+
+        def _done(_):
+            with lock:
+                remaining[0] -= 1
+                if remaining[0] > 0:
+                    return
+            try:
+                results = [f.result() for f in futures]
+                if len(results) == 1:
+                    merged = results[0]["segments"]
+                else:
+                    merged = merge_chunk_segments(
+                        [r["segments"] for r in results], offsets_sec
+                    )
+                out.set_result(
+                    dict(
+                        text="".join(s["text"] for s in merged),
+                        segments=merged,
+                        language=results[0]["language"],
+                    )
+                )
+            except BaseException as exc:  # propagate the first chunk failure
+                out.set_exception(exc)
+
+        for f in futures:
+            f.add_done_callback(_done)
+        return out
 
     def close(self, drain: bool = True):
         """Stop the worker; with drain=True, first finish queued requests."""
@@ -272,8 +358,11 @@ def _parse_options(query: str) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for k, v in parse_qsl(query):
         # request-routing flags, not transcribe options
-        if k in ("priority", "stream"):
+        if k in ("priority", "stream", "chunked"):
             out[k] = _BOOL[v.lower()]
+            continue
+        if k == "chunk_overlap":
+            out[k] = float(v)
             continue
         typ = _OPTION_TYPES.get(k)
         if typ is None:
@@ -324,6 +413,8 @@ def _make_handler(batcher: BatchingTranscriber):
                 return
             priority = bool(options.pop("priority", False))
             stream = bool(options.pop("stream", False))
+            chunked = bool(options.pop("chunked", False))
+            chunk_overlap = float(options.pop("chunk_overlap", 5.0))
             try:
                 # the decoders are file-based (native WAV/FLAC or ffmpeg);
                 # spool the body to a temp file
@@ -335,11 +426,26 @@ def _make_handler(batcher: BatchingTranscriber):
                 finally:
                     os.unlink(tmp)
                 if stream:
-                    self._stream_response(audio, options)
+                    if chunked:
+                        self._stream_chunked_response(
+                            audio, options, chunk_overlap, priority
+                        )
+                    else:
+                        self._stream_response(audio, options)
                     return
                 # bounded wait: a wedged device must surface as an error,
                 # not as indefinitely accumulating blocked HTTP threads
-                fut = batcher.submit(audio, priority=priority, **options)
+                if chunked:
+                    try:
+                        fut = batcher.submit_chunked(
+                            audio, chunk_overlap=chunk_overlap,
+                            priority=priority, **options,
+                        )
+                    except ValueError as exc:  # contradictory chunked options
+                        self._send_json(400, {"error": str(exc)})
+                        return
+                else:
+                    fut = batcher.submit(audio, priority=priority, **options)
                 try:
                     result = fut.result(timeout=REQUEST_TIMEOUT_S)
                 # concurrent.futures.TimeoutError is an alias of the builtin
@@ -417,6 +523,55 @@ def _make_handler(batcher: BatchingTranscriber):
                 write_chunk(
                     {"done": True, "text": final["text"],
                      "language": final["language"]}
+                )
+            except Exception as exc:
+                write_chunk({"error": f"{type(exc).__name__}: {exc}"})
+            self.wfile.write(b"0\r\n\r\n")
+
+        def _stream_chunked_response(self, audio, options, chunk_overlap,
+                                     priority):
+            """Chunked NDJSON for a chunked-parallel request.
+
+            All chunks decode concurrently through the batcher; ownership
+            boundaries are fixed by the offsets alone, so chunk i's owned
+            segments stream out the moment its future resolves (in order)
+            — time-to-first-segment is one batch round, not the whole file.
+            """
+            from .chunked import owned_segments
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(obj):
+                body = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(body):x}\r\n".encode() + body + b"\r\n")
+                self.wfile.flush()
+
+            try:
+                offsets_sec, futures = batcher.submit_chunk_futures(
+                    audio, chunk_overlap=chunk_overlap, priority=priority,
+                    **options,
+                )
+                texts, language, next_id = [], None, 0
+                for i, fut in enumerate(futures):
+                    result = fut.result(timeout=REQUEST_TIMEOUT_S)
+                    language = result["language"]
+                    for seg in owned_segments(result["segments"], i, offsets_sec):
+                        seg = dict(seg, id=next_id)
+                        next_id += 1
+                        texts.append(seg["text"])
+                        write_chunk(
+                            {
+                                k: v
+                                for k, v in seg.items()
+                                if k in ("id", "start", "end", "text", "words",
+                                         "avg_logprob", "no_speech_prob")
+                            }
+                        )
+                write_chunk(
+                    {"done": True, "text": "".join(texts), "language": language}
                 )
             except Exception as exc:
                 write_chunk({"error": f"{type(exc).__name__}: {exc}"})
