@@ -80,6 +80,51 @@ def test_train_step_decreases_loss():
 
 
 @needs_8
+def test_distill_step_shards_like_train_step():
+    """The distillation step is DP+TP-shardable: student decoder and
+    teacher params sharded over the same mesh, loss decreases."""
+    from whisper_tpu.distill import (
+        DistillState,
+        distill_loss,
+        distill_step,
+        init_draft_from_teacher,
+    )
+    from whisper_tpu.training import make_optimizer
+
+    mesh = make_mesh((4, 2))
+    with mesh:
+        params = shard_params(init_params(DIMS, jax.random.PRNGKey(3)), mesh)
+        draft_params, draft_dims = init_draft_from_teacher(params, DIMS, 1)
+        optimizer = make_optimizer(learning_rate=1e-3)
+        state = DistillState(
+            draft_params["decoder"],
+            optimizer.init(draft_params["decoder"]),
+            jnp.int32(0),
+        )
+        rng = np.random.RandomState(0)
+        mel = jnp.asarray(rng.randn(4, 80, 3000), jnp.float32)
+        batch = {
+            "features": encoder_apply(params, DIMS, mel),
+            "tokens": jnp.tile(
+                jnp.asarray(
+                    [50258, 50259, 50359, 50363, 440, 7177, 300, 50257],
+                    jnp.int32,
+                ),
+                (4, 1),
+            ),
+            "loss_mask": jnp.ones((4, 8), jnp.float32),
+        }
+        loss0 = float(distill_loss(state.decoder, params, draft_dims, DIMS, batch))
+        for _ in range(3):
+            state, metrics = distill_step(
+                state, params, draft_dims, DIMS, optimizer, batch
+            )
+        loss1 = float(metrics["loss"])
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert loss1 < loss0
+
+
+@needs_8
 def test_sharded_attention_wrapper_matches_unsharded():
     """The shard_map wrapper used for Pallas-under-TP must be numerically a
     no-op (validated here with the XLA kernel standing in for Pallas, which
