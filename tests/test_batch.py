@@ -234,3 +234,54 @@ def test_alignment_from_features_matches_mel(model):
             assert a.word == b.word
             assert a.start == b.start and a.end == b.end
             assert abs(a.probability - b.probability) < 1e-7
+
+
+def test_word_seek_refinement_off_single_round(model, monkeypatch):
+    """word_seek_refinement=False decodes a one-window words-mode file in ONE
+    engine round: no reference-style rewind-to-last-word re-decode of the
+    window tail (transcribe_chunked relies on this — its fixed overlapping
+    chunks make the rewind redundant)."""
+    from whisper_tpu.decoding import DecodingTask
+
+    audio = whisper_tpu.load_audio(JFK)  # 11 s -> one window
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None, word_timestamps=True,
+        without_timestamps=True,  # pin full-window seek advances
+    )
+
+    rounds = []
+    orig = DecodingTask.run_with_prompts
+
+    def counting(self, mel, prompts):
+        rounds.append(len(prompts))
+        return orig(self, mel, prompts)
+
+    monkeypatch.setattr(DecodingTask, "run_with_prompts", counting)
+
+    out = transcribe_batch(model, [audio], batch_size=1,
+                           condition_on_previous_text=False,
+                           word_seek_refinement=False, **kw)
+    assert len(rounds) == 1, f"expected 1 engine round, saw {len(rounds)}"
+    words = [w for s in out[0]["segments"] for w in s.get("words", [])]
+    assert words, "refinement-off path lost word timings"
+
+    # the refinement-on path may take MORE rounds (rewind re-decode) but
+    # never fewer
+    rounds_off = len(rounds)
+    rounds.clear()
+    transcribe_batch(model, [audio], batch_size=1,
+                     condition_on_previous_text=False,
+                     word_seek_refinement=True, **kw)
+    assert len(rounds) >= rounds_off
+
+
+def test_word_seek_refinement_off_rejects_hallucination_threshold(model):
+    with pytest.raises(ValueError):
+        transcribe_batch(
+            model, [np.zeros(16000, np.float32)],
+            word_timestamps=True, word_seek_refinement=False,
+            hallucination_silence_threshold=2.0,
+            language="en", temperature=0.0,
+        )

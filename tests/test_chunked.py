@@ -167,3 +167,28 @@ class TestEndToEnd:
                                condition_on_previous_text=True, **self.KW)
         with pytest.raises(ValueError):
             transcribe_chunked(model, audio, clip_timestamps="0,5", **self.KW)
+
+    def test_word_timestamps_chunked(self, model):
+        audio = np.tile(whisper_tpu.load_audio(JFK), 5)  # ~55 s -> 2+ chunks
+        duration = audio.shape[0] / SAMPLE_RATE
+        result = transcribe_chunked(
+            model, audio, word_timestamps=True, **self.KW
+        )
+        segs = result["segments"]
+        assert segs, "no segments produced"
+        words = [w for s in segs for w in s.get("words", [])]
+        assert words, "no word timings produced"
+        for s in segs:
+            ws = s.get("words", [])
+            for w in ws:
+                # absolute file time, within the file (+ last chunk slack)
+                assert -1e-6 <= w["start"] <= w["end"] <= duration + CHUNK_LENGTH
+            assert [w["start"] for w in ws] == sorted(w["start"] for w in ws)
+        # later chunks' words were actually rebased past the first chunk
+        assert any(w["start"] > CHUNK_LENGTH for w in words)
+
+    def test_rejects_hallucination_threshold(self, model):
+        audio = np.zeros(SAMPLE_RATE, np.float32)
+        with pytest.raises(ValueError):
+            transcribe_chunked(model, audio, word_timestamps=True,
+                               hallucination_silence_threshold=2.0, **self.KW)

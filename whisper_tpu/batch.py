@@ -139,6 +139,7 @@ def transcribe_batch(
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     clip_timestamps: Union[str, List[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
+    word_seek_refinement: bool = True,
     stage_timer=None,
     **decode_options,
 ) -> List[dict]:
@@ -148,7 +149,23 @@ def transcribe_batch(
     given, wall time is attributed to audio_host / mel / window_slice /
     engine / segment / alignment stages (device work is synced at stage
     boundaries, which slightly reduces pipelining — profiling only).
+
+    ``word_seek_refinement`` (not in the reference, default True = reference
+    semantics): with ``word_timestamps=True`` the reference rewinds each
+    window's seek to the last aligned word's end and re-decodes the tail
+    (reference transcribe.py:413-416).  ``False`` keeps the decode's own
+    window advance — the right semantics when windows are FIXED by
+    construction (``transcribe_chunked``: an overlapping neighbor chunk
+    already re-decodes every boundary).  Mutually exclusive with
+    ``hallucination_silence_threshold`` (whose silence-skipping heuristics
+    steer seek and assume refinement).
     """
+    if not word_seek_refinement and hallucination_silence_threshold is not None:
+        raise ValueError(
+            "word_seek_refinement=False is incompatible with "
+            "hallucination_silence_threshold (its silence-skip heuristics "
+            "steer the seek that refinement controls)"
+        )
     if decode_options.pop("prompt", None):
         raise NotImplementedError(
             "transcribe_batch manages prompts per file; use transcribe() for a "
@@ -438,6 +455,11 @@ def transcribe_batch(
                         last_speech_timestamp=st.last_speech_timestamp,
                         alignment=alignment,
                     )
+                    if not word_seek_refinement:
+                        last_word_end = get_end(p["segments"])
+                        if last_word_end is not None:
+                            st.last_speech_timestamp = last_word_end
+                        continue
                     window_end_time = float(
                         (p["previous_seek"] + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE
                     )

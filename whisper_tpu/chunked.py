@@ -163,6 +163,16 @@ def transcribe_chunked(
     accepted except the ones that contradict fixed chunking:
     ``condition_on_previous_text`` (forced False — chunks are independent)
     and ``clip_timestamps`` (use sequential ``transcribe`` for clips).
+
+    ``word_timestamps=True`` works and keeps chunked throughput: the
+    sequential path's word-based seek refinement (reference
+    transcribe.py:413-416, which rewinds each window to the last aligned
+    word and re-decodes the tail) is disabled here because chunk windows
+    are fixed by construction — the overlapping neighbor chunk already
+    decodes every boundary region whole, so the rewind would only re-decode
+    audio another chunk owns.  Word times are rebased to absolute file time
+    during stitching.  ``hallucination_silence_threshold`` requires that
+    refinement and therefore sequential ``transcribe``.
     """
     from .batch import transcribe_batch
 
@@ -174,6 +184,12 @@ def transcribe_chunked(
     if str(options.pop("clip_timestamps", "0")) != "0":
         raise ValueError("clip_timestamps is not supported in chunked mode; "
                          "use transcribe()")
+    if options.get("hallucination_silence_threshold") is not None:
+        raise ValueError(
+            "hallucination_silence_threshold steers the sequential seek "
+            "(via word-based refinement); chunked windows are fixed — use "
+            "sequential transcribe() for it"
+        )
 
     wave = load_audio(audio) if isinstance(audio, str) else np.asarray(audio)
     if wave.ndim != 1:
@@ -190,6 +206,7 @@ def transcribe_chunked(
         chunks,
         batch_size=batch_size,
         condition_on_previous_text=False,
+        word_seek_refinement=False,
         **options,
     )
 
