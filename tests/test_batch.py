@@ -244,11 +244,17 @@ def test_word_seek_refinement_off_single_round(model, monkeypatch):
     from whisper_tpu.decoding import DecodingTask
 
     audio = whisper_tpu.load_audio(JFK)  # 11 s -> one window
+    # the seeded random-weight fixture greedily emits <|notimestamps|> for
+    # every step under without_timestamps=True, which strips to empty text and
+    # bypasses the alignment path; suppress all specials >= no_timestamps
+    # (a real DecodingOptions knob) so the decode emits genuine text tokens
+    # and the words assertion tests the feature, not luck
     kw = dict(
         language="en", temperature=0.0,
         compression_ratio_threshold=None, logprob_threshold=None,
         no_speech_threshold=None, word_timestamps=True,
         without_timestamps=True,  # pin full-window seek advances
+        suppress_tokens=list(range(50362, model.dims.n_vocab)),
     )
 
     rounds = []
@@ -264,6 +270,7 @@ def test_word_seek_refinement_off_single_round(model, monkeypatch):
                            condition_on_previous_text=False,
                            word_seek_refinement=False, **kw)
     assert len(rounds) == 1, f"expected 1 engine round, saw {len(rounds)}"
+    assert out[0]["text"].strip(), "fixture decode must emit real text"
     words = [w for s in out[0]["segments"] for w in s.get("words", [])]
     assert words, "refinement-off path lost word timings"
 

@@ -160,7 +160,14 @@ def transcribe_batch(
     ``hallucination_silence_threshold`` (whose silence-skipping heuristics
     steer seek and assume refinement).
     """
-    if not word_seek_refinement and hallucination_silence_threshold is not None:
+    if (
+        not word_seek_refinement
+        and hallucination_silence_threshold is not None
+        and word_timestamps
+    ):
+        # scope to word_timestamps=True: with timestamps off the threshold is
+        # inert in both this implementation and the reference (only consulted
+        # inside the word-timestamps block, reference transcribe.py:401-508)
         raise ValueError(
             "word_seek_refinement=False is incompatible with "
             "hallucination_silence_threshold (its silence-skip heuristics "

@@ -196,6 +196,13 @@ def transcribe_chunked(
         wave = wave.reshape(-1)
     offsets = chunk_offsets(wave.shape[0], chunk_overlap)
 
+    if options.pop("word_seek_refinement", False):
+        raise ValueError(
+            "transcribe_chunked always decodes with word_seek_refinement="
+            "False: its fixed overlapping chunks make the reference's "
+            "rewind-to-last-word re-decode redundant"
+        )
+
     if options.get("language") is None:
         options["language"] = detect_file_language(model, wave, verbose=verbose)
 
