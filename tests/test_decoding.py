@@ -327,3 +327,82 @@ def test_write_block_engine_matches_per_step_per_row(models, jfk_mel):
     for rb, rs in zip(r_block, r_step):
         assert rb.tokens == rs.tokens
         assert rb.avg_logprob == rs.avg_logprob
+
+
+def test_forced_tokens_bench_hook(models):
+    """Benchmark-only hook: ``DecodingTask._forced_tokens`` pins the committed
+    greedy sequence (engine still runs every per-step computation), so the
+    harness can drive random weights through production-shaped decodes —
+    a leading timestamp, text, a final window timestamp, EOT."""
+    from whisper_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    _, _, model = models
+    tok = get_tokenizer(
+        model.is_multilingual, num_languages=model.num_languages,
+        language="en", task="transcribe",
+    )
+    ts0 = tok.timestamp_begin
+    forced = [ts0] + list(range(1000, 1010)) + [ts0 + 1500, tok.eot]
+
+    mel = (
+        np.random.RandomState(0)
+        .randn(1, model.dims.n_mels, 3000)
+        .astype(np.float32)
+        * 0.3
+    )
+    task = DecodingTask(
+        model, DecodingOptions(language="en", temperature=0.0, sample_len=32)
+    )
+    task._forced_tokens = np.asarray(forced, np.int32)
+    (res,) = task.run(mel)
+    assert list(res.tokens) == forced[:-1], "forced sequence must commit as-is"
+
+    # beam rejects the hook: it is a greedy-only benchmark device
+    beam_task = DecodingTask(
+        model, DecodingOptions(language="en", temperature=0.0, beam_size=2)
+    )
+    beam_task._forced_tokens = np.asarray(forced, np.int32)
+    with pytest.raises(ValueError):
+        beam_task.run(mel)
+
+
+def test_forced_tokens_full_window_advance(models, monkeypatch):
+    """With a forced final-window timestamp, transcribe_batch advances seek
+    a full window per round with timestamps ON — the production shape the
+    chunked-vs-sequential benchmark relies on."""
+    from whisper_tpu.batch import transcribe_batch
+    from whisper_tpu.decoding import DecodingTask
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    _, _, model = models
+    tok = get_tokenizer(
+        model.is_multilingual, num_languages=model.num_languages,
+        language="en", task="transcribe",
+    )
+    ts0 = tok.timestamp_begin
+    forced = [ts0] + list(range(1000, 1020)) + [ts0 + 1500, tok.eot]
+    monkeypatch.setattr(
+        DecodingTask, "_forced_tokens", np.asarray(forced, np.int32),
+        raising=False,
+    )
+
+    rounds = []
+    orig = DecodingTask.run_with_prompts
+
+    def spy(self, mel, prompts):
+        rounds.append(len(prompts))
+        return orig(self, mel, prompts)
+
+    monkeypatch.setattr(DecodingTask, "run_with_prompts", spy)
+
+    audio = (np.random.RandomState(0).randn(16000 * 65) * 0.1).astype(np.float32)
+    out = transcribe_batch(
+        model, [audio], batch_size=1, language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None, condition_on_previous_text=False,
+    )
+    # 65 s at full 30 s advances = 3 rounds, with timestamp rules active
+    assert len(rounds) == 3, f"expected 3 full-window rounds, saw {len(rounds)}"
+    segs = out[0]["segments"]
+    assert segs and all(s["tokens"][0] == ts0 for s in segs)

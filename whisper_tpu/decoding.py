@@ -524,8 +524,27 @@ class DecodingTask:
                 self._rng_key(),
                 features_given=features_given,
                 fused_pack=pack,
+                forced_tokens=self._bench_forced(),
             )
         return self._assemble(result, languages, language_probs, n_audio)
+
+    def _bench_forced(self):
+        """Benchmark-only pinned token sequence (engine._greedy_update).
+
+        Set ``DecodingTask._forced_tokens`` (class attribute — covers the
+        tasks that transcribe/transcribe_batch construct internally) or an
+        instance attribute to an i32 sequence; every greedy sampling step
+        ``s < len`` then commits ``forced[s]`` while all per-step compute
+        still runs at full cost.  Lets the benchmark harness drive random
+        weights through production-shaped decodes (timestamp segmentation,
+        full-window seek advances, EOT stops).  None in production.
+        """
+        forced = getattr(self, "_forced_tokens", None)
+        if forced is None:
+            return None
+        if self.options.beam_size:
+            raise ValueError("_forced_tokens is greedy-only (benchmark hook)")
+        return jnp.asarray(np.asarray(forced, np.int32))
 
     def _fused_variant(self, spec, n_audio):
         """(spec, fused_pack) with the whole-step kernel enabled if usable.
@@ -661,6 +680,7 @@ class DecodingTask:
                 self._rng_key(),
                 features_given=features_given,
                 fused_pack=pack,
+                forced_tokens=self._bench_forced(),
             )
         languages = [self.options.language] * n_audio
         return self._assemble(

@@ -253,7 +253,7 @@ def apply_logit_filters(
 
 
 def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature,
-                   active=None):
+                   active=None, forced=None):
     """GreedyDecoder.update parity (decoding.py:277-293).
 
     Per-row positions: a row whose buffer is full (t > n_ctx) is "capped" —
@@ -264,6 +264,14 @@ def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature,
     an overrun past the stop condition inside a W-step block — everything
     except the step counter and the RNG key freezes, so the committed state
     is bit-identical to the per-step engine's.
+
+    ``forced`` (benchmark-only, (F,) i32): sampling step ``s < F`` commits
+    ``forced[s]`` in every row instead of the argmax/sample.  Every per-step
+    computation (filters, argmax, logprob accumulation, KV writes) still
+    runs at full cost — only the *selected* token is pinned, so randomly
+    initialized weights can be driven through production-shaped token
+    sequences (timestamp pairs, a final window timestamp, EOT) and the
+    host segmentation/seek logic behaves as it does with real checkpoints.
     """
     tokens, t = state.tokens, state.t
     n_ctx1 = tokens.shape[1]  # n_ctx + 1
@@ -275,6 +283,10 @@ def _greedy_update(spec: EngineSpec, state: _LoopState, logits, temperature,
         next_tokens = jax.random.categorical(
             subkey, logits / temperature, axis=-1
         ).astype(jnp.int32)
+    if forced is not None:
+        F = forced.shape[0]
+        pinned = forced[jnp.clip(state.step, 0, F - 1)]
+        next_tokens = jnp.where(state.step < F, pinned, next_tokens)
 
     # selected-token logprob without materializing the (B, V) log_softmax:
     # log_softmax(x)[i] == x[i] - logsumexp(x)
@@ -470,6 +482,7 @@ def decode_engine(
     rng_key: jax.Array,
     features_given: bool = False,
     fused_pack=None,
+    forced_tokens=None,  # benchmark-only: see _greedy_update
 ) -> EngineResult:
     """Decode one batch of 30-second segments entirely on device.
 
@@ -611,7 +624,8 @@ def decode_engine(
                 filtered = apply_logit_filters(
                     spec, s.cur_logits, s.tokens, s.t, filter_args
                 )
-                s = _greedy_update(spec, s, filtered, temperature, active=active)
+                s = _greedy_update(spec, s, filtered, temperature,
+                                   active=active, forced=forced_tokens)
                 prev_tok = jnp.take_along_axis(
                     s.tokens, jnp.clip(s.t - 1, 0, n_ctx)[:, None], axis=1
                 )[:, 0]
@@ -650,7 +664,8 @@ def decode_engine(
         if spec.beam_size > 0:
             s = _beam_update(spec, s, filtered)
         else:
-            s = _greedy_update(spec, s, filtered, temperature)
+            s = _greedy_update(spec, s, filtered, temperature,
+                               forced=forced_tokens)
 
         # logits for the next step; unconditionally — a lax.cond here would
         # make XLA copy the whole KV cache for the skip branch every
