@@ -292,3 +292,31 @@ def test_word_seek_refinement_off_rejects_hallucination_threshold(model):
             hallucination_silence_threshold=2.0,
             language="en", temperature=0.0,
         )
+
+
+def test_pipelined_groups_match_single_group(model):
+    """A stream longer than one engine batch takes the prefetch-pipelined
+    path (groups of batch_size, group k+1's mel store prepared while group k
+    decodes); per-file results must be identical to the one-group path."""
+    audio = whisper_tpu.load_audio(JFK)
+    rng = np.random.RandomState(7)
+    audios = [
+        audio,
+        (rng.randn(16000 * 3) * 0.05).astype(np.float32),
+        audio[: 16000 * 4],
+        (rng.randn(16000 * 6) * 0.05).astype(np.float32),
+        audio[: 16000 * 2],
+    ]
+    kw = dict(
+        language="en", temperature=0.0,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        condition_on_previous_text=False,
+    )
+    single = transcribe_batch(model, audios, batch_size=len(audios), **kw)
+    piped = transcribe_batch(model, audios, batch_size=2, **kw)
+    assert len(piped) == len(single)
+    for p, s in zip(piped, single):
+        assert p["text"] == s["text"]
+        assert [seg["tokens"] for seg in p["segments"]] == [
+            seg["tokens"] for seg in s["segments"]
+        ]

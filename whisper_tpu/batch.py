@@ -122,6 +122,47 @@ class _FileState:
         )
 
 
+def _prepare_mels(model, audios, _st, _sync):
+    """Host-decode ``audios``, upload as one packed buffer, dispatch the mel
+    program; returns the device-resident mel store and per-file lengths.
+
+    One device-resident mel store for the group: stack the waveforms (padded
+    to the longest), compute every log-mel in ONE device program, and never
+    fetch mel to the host.  Numerically identical to per-file
+    log_mel_spectrogram: the dynamic-range floor is already per-row, and a
+    row's extra tail (beyond its own length + the 30 s zero padding) is pure
+    silence that never raises its max — while every decode window only ever
+    reads frames inside the row's true region.
+    """
+    with _st("audio_host"):
+        arrs = [
+            load_audio(a)
+            if isinstance(a, str)
+            else (
+                np.asarray(a).reshape(-1)
+                if np.asarray(a).dtype == np.int16
+                else np.asarray(a, np.float32).reshape(-1)
+            )
+            for a in audios
+        ]
+        lens = [a.shape[0] for a in arrs]
+        # ship the batch as int16 when every row is exactly 16-bit PCM — the
+        # waveform upload dominates the mel stage on remote attachments and
+        # the device-side reconstruction is bit-exact (audio.as_transfer_array)
+        arrs = [as_transfer_array(a) for a in arrs]
+        dt = np.int16 if all(a.dtype == np.int16 for a in arrs) else np.float32
+        buf = np.zeros((len(arrs), max(lens) if lens else 0), dt)
+        for i, a in enumerate(arrs):
+            buf[i, : a.shape[0]] = a if dt == np.int16 else (
+                a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a
+            )
+    with _st("mel"):
+        mels_dev = _sync(log_mel_spectrogram(
+            jax.device_put(buf), model.dims.n_mels, padding=N_SAMPLES
+        ))
+    return mels_dev, lens
+
+
 def transcribe_batch(
     model,
     audios: Sequence[Union[str, np.ndarray]],
@@ -195,40 +236,115 @@ def transcribe_batch(
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
 
-    # one device-resident mel store for all files: stack the waveforms (padded
-    # to the longest), compute every log-mel in ONE device program, and never
-    # fetch mel to the host.  Numerically identical to per-file
-    # log_mel_spectrogram: the dynamic-range floor is already per-row, and a
-    # row's extra tail (beyond its own length + the 30 s zero padding) is pure
-    # silence that never raises its max — while every decode window only ever
-    # reads frames inside the row's true region.
-    with _st("audio_host"):
-        arrs = [
-            load_audio(a)
-            if isinstance(a, str)
-            else (
-                np.asarray(a).reshape(-1)
-                if np.asarray(a).dtype == np.int16
-                else np.asarray(a, np.float32).reshape(-1)
-            )
-            for a in audios
-        ]
-        lens = [a.shape[0] for a in arrs]
-        # ship the batch as int16 when every row is exactly 16-bit PCM — the
-        # waveform upload dominates the mel stage on remote attachments and
-        # the device-side reconstruction is bit-exact (audio.as_transfer_array)
-        arrs = [as_transfer_array(a) for a in arrs]
-        dt = np.int16 if all(a.dtype == np.int16 for a in arrs) else np.float32
-        buf = np.zeros((len(arrs), max(lens) if lens else 0), dt)
-        for i, a in enumerate(arrs):
-            buf[i, : a.shape[0]] = a if dt == np.int16 else (
-                a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a
-            )
-    with _st("mel"):
-        mels_dev = _sync(log_mel_spectrogram(
-            jax.device_put(buf), model.dims.n_mels, padding=N_SAMPLES
-        ))
+    group_kw = dict(
+        batch_size=batch_size,
+        temperatures=temperatures,
+        compression_ratio_threshold=compression_ratio_threshold,
+        logprob_threshold=logprob_threshold,
+        no_speech_threshold=no_speech_threshold,
+        condition_on_previous_text=condition_on_previous_text,
+        initial_prompt=initial_prompt,
+        carry_initial_prompt=carry_initial_prompt,
+        word_timestamps=word_timestamps,
+        prepend_punctuations=prepend_punctuations,
+        append_punctuations=append_punctuations,
+        clip_timestamps=clip_timestamps,
+        hallucination_silence_threshold=hallucination_silence_threshold,
+        word_seek_refinement=word_seek_refinement,
+        decode_options=decode_options,
+    )
 
+    # Streams longer than one engine batch process as groups of
+    # ``batch_size`` files.  Per-file semantics are unchanged (every file's
+    # windows, prompts, and fallback ladder live entirely inside its group);
+    # only the batch composition differs from the pre-group behavior when
+    # files of very different lengths are mixed (a group drains its own
+    # stragglers instead of pulling in files beyond the group).
+    groups = [
+        list(audios[i : i + batch_size])
+        for i in range(0, len(audios), batch_size)
+    ] or [[]]
+
+    if len(groups) == 1 or stage_timer is not None:
+        # stage_timer forces the serial path: attribution needs stage
+        # boundaries to be real sync points, which pipelining removes
+        results = []
+        for g in groups:
+            mels_dev, lens = _prepare_mels(model, g, _st, _sync)
+            results.extend(
+                _transcribe_group(
+                    model, mels_dev, lens, _st=_st, _sync=_sync, **group_kw
+                )
+            )
+        return results
+
+    # Pipelined streaming: a prefetch thread prepares group k+1's mel store —
+    # host audio decode, int16 packing, the (async) device upload, and the
+    # (async) mel program dispatch — while group k's engine rounds occupy the
+    # device.  The queue holds at most 2 prepared groups (a group's mel store
+    # is ~50 MB at large-v3 shapes) and the thread dies with the consumer on
+    # error.  On the remote-tunnel deployment the overlapped stages are ~17%
+    # of wall (docs/BENCHMARKS.md stage table), so steady-state throughput
+    # approaches the bare-engine rate.
+    from queue import Queue
+    from threading import Thread
+
+    q: "Queue" = Queue(maxsize=2)
+
+    def _producer():
+        for g in groups:
+            try:
+                q.put(_prepare_mels(model, g, _st, _sync))
+            except BaseException as e:  # surfaced in the consumer
+                q.put(e)
+                return
+
+    th = Thread(target=_producer, daemon=True)
+    th.start()
+    results = []
+    for _ in groups:
+        item = q.get()
+        if isinstance(item, BaseException):
+            th.join()
+            raise item
+        mels_dev, lens = item
+        results.extend(
+            _transcribe_group(
+                model, mels_dev, lens, _st=_st, _sync=_sync, **group_kw
+            )
+        )
+    th.join()
+    return results
+
+
+def _transcribe_group(
+    model,
+    mels_dev,
+    lens,
+    *,
+    batch_size,
+    temperatures,
+    compression_ratio_threshold,
+    logprob_threshold,
+    no_speech_threshold,
+    condition_on_previous_text,
+    initial_prompt,
+    carry_initial_prompt,
+    word_timestamps,
+    prepend_punctuations,
+    append_punctuations,
+    clip_timestamps,
+    hallucination_silence_threshold,
+    word_seek_refinement,
+    decode_options,
+    _st,
+    _sync,
+):
+    """Decode one group of files out of its device-resident mel store.
+
+    All per-file logic of :func:`transcribe_batch` lives here; the wrapper
+    handles grouping and mel-store prefetch.
+    """
     states = [
         _FileState(
             content_frames=(n + N_SAMPLES) // HOP_LENGTH - N_FRAMES,
