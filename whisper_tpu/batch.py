@@ -122,17 +122,38 @@ class _FileState:
         )
 
 
-def _prepare_mels(model, audios, _st, _sync):
+def _bucket_samples(width: int) -> int:
+    """Waveform-width bucket for the packed upload buffer.
+
+    The mel program and the window-slice program compile per buffer SHAPE;
+    without bucketing, every distinct longest-file length in a batch is a
+    fresh multi-second XLA compile — fatal for serving, where batch
+    compositions vary per dispatch.  Buckets: one 30 s class for short
+    requests (the dominant serving shape), then 120 s steps, bounding the
+    wasted mel compute at <120 s per row and the program count at one per
+    2-minute size class.
+    """
+    if width <= N_SAMPLES:
+        return N_SAMPLES
+    step = 4 * N_SAMPLES  # 120 s
+    return ((width + step - 1) // step) * step
+
+
+def _prepare_mels(model, audios, _st, _sync, pad_rows_to=None):
     """Host-decode ``audios``, upload as one packed buffer, dispatch the mel
     program; returns the device-resident mel store and per-file lengths.
 
     One device-resident mel store for the group: stack the waveforms (padded
-    to the longest), compute every log-mel in ONE device program, and never
-    fetch mel to the host.  Numerically identical to per-file
-    log_mel_spectrogram: the dynamic-range floor is already per-row, and a
-    row's extra tail (beyond its own length + the 30 s zero padding) is pure
-    silence that never raises its max — while every decode window only ever
-    reads frames inside the row's true region.
+    to the longest, bucketed — see _bucket_samples), compute every log-mel in
+    ONE device program, and never fetch mel to the host.  Numerically
+    identical to per-file log_mel_spectrogram: the dynamic-range floor is
+    already per-row, and a row's extra tail (beyond its own length + the 30 s
+    zero padding) is pure silence that never raises its max — while every
+    decode window only ever reads frames inside the row's true region.
+
+    ``pad_rows_to``: allocate this many buffer rows (zero-padded) so that
+    differently sized groups share one compiled mel program; extra rows
+    carry no file state and cost only their (silent) mel compute.
     """
     with _st("audio_host"):
         arrs = [
@@ -151,7 +172,9 @@ def _prepare_mels(model, audios, _st, _sync):
         # the device-side reconstruction is bit-exact (audio.as_transfer_array)
         arrs = [as_transfer_array(a) for a in arrs]
         dt = np.int16 if all(a.dtype == np.int16 for a in arrs) else np.float32
-        buf = np.zeros((len(arrs), max(lens) if lens else 0), dt)
+        n_rows = max(pad_rows_to or 0, len(arrs))
+        width = _bucket_samples(max(lens)) if lens else 0
+        buf = np.zeros((n_rows, width), dt)
         for i, a in enumerate(arrs):
             buf[i, : a.shape[0]] = a if dt == np.int16 else (
                 a.astype(np.float32) / 32768.0 if a.dtype == np.int16 else a
@@ -268,9 +291,10 @@ def transcribe_batch(
     if len(groups) == 1 or stage_timer is not None:
         # stage_timer forces the serial path: attribution needs stage
         # boundaries to be real sync points, which pipelining removes
+        pad = batch_size if len(groups) > 1 else None
         results = []
         for g in groups:
-            mels_dev, lens = _prepare_mels(model, g, _st, _sync)
+            mels_dev, lens = _prepare_mels(model, g, _st, _sync, pad_rows_to=pad)
             results.extend(
                 _transcribe_group(
                     model, mels_dev, lens, _st=_st, _sync=_sync, **group_kw
@@ -294,7 +318,9 @@ def transcribe_batch(
     def _producer():
         for g in groups:
             try:
-                q.put(_prepare_mels(model, g, _st, _sync))
+                q.put(
+                    _prepare_mels(model, g, _st, _sync, pad_rows_to=batch_size)
+                )
             except BaseException as e:  # surfaced in the consumer
                 q.put(e)
                 return

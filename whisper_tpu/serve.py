@@ -299,10 +299,24 @@ class BatchingTranscriber:
         audios = [a for a, _, _ in items]
         futures = [f for _, f, _ in items]
         try:
+            # pad the dispatch to a full batch with empty files: the mel
+            # store and window-slice programs compile per batch SHAPE, so
+            # without padding every distinct request count is a fresh
+            # multi-second XLA compile.  Empty rows carry no decode work
+            # (their file state is exhausted on arrival) — only a silent
+            # mel row — and their results are dropped below.
+            n_real = len(audios)
+            if n_real < self.batch_size:
+                import numpy as _np
+
+                audios = audios + [
+                    _np.zeros(0, _np.int16)
+                    for _ in range(self.batch_size - n_real)
+                ]
             with (self.mesh if self.mesh is not None else contextlib.nullcontext()):
                 results = self._transcribe_batch(
                     self.model, audios, batch_size=self.batch_size, **options
-                )
+                )[:n_real]
             with self._cv:
                 self.stats["batches"] += 1
             for fut, res in zip(futures, results):
