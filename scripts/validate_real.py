@@ -4,11 +4,16 @@
 The CI environment has no network, so every parity test runs on tiny random
 checkpoints.  This script is the one-command check to fire the moment real
 weights are available (downloaded on another machine, or cached under
-``$XDG_CACHE_HOME/whisper`` / ``--download-root``):
+``$WHISPER_TPU_CHECKPOINT_DIR`` / ``$XDG_CACHE_HOME/whisper`` /
+``--download-root``).  Checkpoint files for registry names are SHA256-verified
+against the official registry (whisper_tpu._MODELS embeds the digest in each
+URL; the loader refuses a mismatching file), so a directory of side-loaded
+``.pt`` files is trusted exactly as far as a fresh download would be:
 
     python scripts/validate_real.py [--model tiny.en] [--download-root DIR]
-    python scripts/validate_real.py --all            # every cached model
+    WHISPER_TPU_CHECKPOINT_DIR=/mnt/ckpts python scripts/validate_real.py --all
     python scripts/validate_real.py --librispeech DIR --limit 64
+    python scripts/validate_real.py --dry-run   # no weights needed (CI)
 
 Checks mirror the reference's integration test
 (/root/reference/tests/test_transcribe.py:17-42):
@@ -21,6 +26,13 @@ Checks mirror the reference's integration test
 4. (optional) greedy LibriSpeech WER via whisper_tpu.evaluation — pass a
    directory of LibriSpeech-format .flac/.trans.txt files; target is the
    reference's published 4.26% (base.en, test-clean, notebook output).
+
+``--dry-run`` drives the ENTIRE command path today, with no network: it
+saves a tiny randomly initialized reference-format ``.pt`` checkpoint,
+loads it through ``whisper_tpu.load_model``, and runs every config with
+content assertions relaxed to structural ones (random weights produce no
+real transcript).  A green dry-run proves that the moment a real checkpoint
+lands in the directory, configs #1-#5 and the int8 gates run unmodified.
 
 Exits 0 with "SKIP" when no cached checkpoint exists (offline CI safe).
 """
@@ -46,18 +58,22 @@ def checkpoint_cached(name: str, download_root: str) -> bool:
     )
 
 
-def validate_jfk(model, name: str) -> None:
+def validate_jfk(model, name: str, strict: bool = True) -> None:
     import whisper_tpu
     from whisper_tpu.tokenizer import get_tokenizer
 
     jfk = os.path.join(os.path.dirname(__file__), "..", "tests", "jfk.flac")
-    result = model.transcribe(jfk, temperature=0.0, word_timestamps=True)
+    result = model.transcribe(
+        jfk, temperature=0.0, word_timestamps=True,
+        **({} if strict else {"language": "en"}),
+    )
 
-    assert result["language"] == "en", f"{name}: language {result['language']}"
     text = result["text"].lower()
-    assert "my fellow americans" in text, f"{name}: missing phrase: {text!r}"
-    assert "your country" in text, f"{name}: missing phrase: {text!r}"
-    assert "do for you" in text, f"{name}: missing phrase: {text!r}"
+    if strict:
+        assert result["language"] == "en", f"{name}: language {result['language']}"
+        assert "my fellow americans" in text, f"{name}: missing phrase: {text!r}"
+        assert "your country" in text, f"{name}: missing phrase: {text!r}"
+        assert "do for you" in text, f"{name}: missing phrase: {text!r}"
     joined = "".join(s["text"] for s in result["segments"])
     assert result["text"] == joined, f"{name}: text != concat(segments)"
 
@@ -69,7 +85,7 @@ def validate_jfk(model, name: str) -> None:
     assert tokenizer.decode(all_tokens) == result["text"], f"{name}: token round-trip"
     timing_checked = False
     for segment in result["segments"]:
-        for timing in segment["words"]:
+        for timing in segment.get("words", []):
             assert timing["start"] <= timing["end"], f"{name}: word start > end"
             if timing["word"].strip(" ,") == "Americans":
                 assert timing["start"] <= 1.8 <= timing["end"], (
@@ -78,11 +94,14 @@ def validate_jfk(model, name: str) -> None:
                 )
                 assert timing["end"] - timing["start"] < 1.0, f"{name}: overlong word"
                 timing_checked = True
-    assert timing_checked, f"{name}: word 'Americans' not found in timings"
-    print(f"OK {name}: jfk.flac transcript, token round-trip, word timing")
+    if strict:
+        assert timing_checked, f"{name}: word 'Americans' not found in timings"
+        print(f"OK {name}: jfk.flac transcript, token round-trip, word timing")
+    else:
+        print(f"OK {name}: jfk.flac path ran (structural checks only — dry run)")
 
 
-def validate_translate_beam(model, name: str) -> None:
+def validate_translate_beam(model, name: str, strict: bool = True) -> None:
     """BASELINE config #2: language detection + translate with beam_size=5.
 
     jfk.flac is English speech, so the X->English translation must contain
@@ -102,19 +121,29 @@ def validate_translate_beam(model, name: str) -> None:
     )
     _, probs = model.detect_language(mel)
     lang = max(probs, key=probs.get)
-    assert lang == "en", f"{name}: detected {lang}, expected en"
+    if strict:
+        assert lang == "en", f"{name}: detected {lang}, expected en"
+    else:
+        from whisper_tpu.tokenizer import LANGUAGES
+
+        assert lang in LANGUAGES, f"{name}: detected non-language {lang!r}"
 
     result = model.transcribe(
-        jfk, task="translate", beam_size=5, temperature=0.0
+        jfk, task="translate", beam_size=5, temperature=0.0,
+        **({} if strict else {"language": "en"}),
     )
     text = result["text"].lower()
-    assert "americans" in text and "country" in text, (
-        f"{name}: beam-5 translate missing key phrases: {text!r}"
-    )
-    print(f"OK {name}: detect_language=en, beam-5 translate key phrases")
+    if strict:
+        assert "americans" in text and "country" in text, (
+            f"{name}: beam-5 translate missing key phrases: {text!r}"
+        )
+        print(f"OK {name}: detect_language=en, beam-5 translate key phrases")
+    else:
+        print(f"OK {name}: detect_language + beam-5 translate ran (dry run)")
 
 
-def validate_longform(model, name: str, audio_path: str = None) -> None:
+def validate_longform(model, name: str, audio_path: str = None,
+                      strict: bool = True) -> None:
     """BASELINE config #3: long-form sliding-window transcription.
 
     data/meanwhile.json references YouTube audio this offline environment
@@ -132,8 +161,18 @@ def validate_longform(model, name: str, audio_path: str = None) -> None:
         one = whisper_tpu.load_audio(jfk)
         audio = np.concatenate([one] * 4)
         expect_repeats = 3  # phrase appears once per tile; require most
-    result = model.transcribe(audio, temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0))
+    result = model.transcribe(
+        audio, temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        **({} if strict else {"language": "en"}),
+    )
     segs = result["segments"]
+    if not strict:
+        assert {"text", "segments", "language"} <= set(result), (
+            f"{name}: long-form result missing keys"
+        )
+        print(f"OK {name}: long-form sliding window ran, "
+              f"{len(segs)} segments (dry run)")
+        return
     assert len(segs) >= 2, f"{name}: long-form produced {len(segs)} segments"
     last_end = max(s["end"] for s in segs)
     assert last_end > 31.0, f"{name}: window never advanced past 30 s ({last_end})"
@@ -194,11 +233,52 @@ def validate_librispeech(model, root: str, limit: int) -> None:
     )
 
 
+def _build_dry_run_checkpoint(tmpdir: str) -> str:
+    """Save a tiny randomly initialized reference-format ``.pt`` checkpoint.
+
+    Uses the reference torch model class (same ``{"dims", "model_state_dict"}``
+    schema as the official CDN files, reference __init__.py:151-156) so the
+    dry run exercises the torch-conversion path of load_model end to end.
+    """
+    import torch
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tests")
+    )
+    from _reference import TINY_DIMS, make_reference_model
+
+    model = make_reference_model(TINY_DIMS, seed=0)
+    path = os.path.join(tmpdir, "dryrun-tiny.pt")
+    torch.save(
+        {"dims": dict(TINY_DIMS), "model_state_dict": model.state_dict()}, path
+    )
+    return path
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="tiny.en")
     parser.add_argument("--all", action="store_true", help="validate every cached model")
-    parser.add_argument("--download-root", default=None)
+    parser.add_argument(
+        "--download-root", default=None,
+        help="checkpoint directory; defaults to $WHISPER_TPU_CHECKPOINT_DIR "
+        "then $XDG_CACHE_HOME/whisper.  Files named after registry models "
+        "are SHA256-verified against the official digests on load",
+    )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the env var JAX_PLATFORMS is not "
+        "honored under the axon TPU plugin; this sets jax.config before "
+        "any computation)",
+    )
+    parser.add_argument(
+        "--dry-run", action="store_true",
+        help="no weights needed: save a tiny random reference-format .pt, "
+        "load it through load_model, and drive every config with content "
+        "assertions relaxed to structural ones — proves the command path "
+        "end to end so real checkpoints validate the moment they land",
+    )
     parser.add_argument("--librispeech", default=None, help="LibriSpeech dir for WER")
     parser.add_argument(
         "--longform-audio", default=None,
@@ -217,21 +297,48 @@ def main():
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     import whisper_tpu
 
-    download_root = args.download_root or os.path.join(
+    download_root = args.download_root or os.getenv(
+        "WHISPER_TPU_CHECKPOINT_DIR"
+    ) or os.path.join(
         os.getenv("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "whisper"
     )
+
+    if args.dry_run:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmpdir:
+            path = _build_dry_run_checkpoint(tmpdir)
+            name = "dry-run[tiny-random]"
+            print(f"dry run: reference-format checkpoint at {path}")
+            model = whisper_tpu.load_model(path)
+            validate_jfk(model, name, strict=False)
+            validate_translate_beam(model, name, strict=False)
+            validate_longform(model, name, args.longform_audio, strict=False)
+            if args.librispeech:
+                validate_librispeech(model, args.librispeech, args.limit)
+            qmode = args.quantize or "int8"
+            qmodel = whisper_tpu.load_model(path, quantize=qmode)
+            qname = f"{name}[{qmode}]"
+            validate_jfk(qmodel, qname, strict=False)
+            validate_quantized_agreement(model, qmodel, qname)
+        print("DRY RUN OK: the full validation path executed; drop real "
+              f"checkpoints into {download_root} and rerun without --dry-run")
+        return 0
+
     names = whisper_tpu.available_models() if args.all else [args.model]
     ran = 0
     for name in names:
         if not checkpoint_cached(name, download_root):
             print(f"SKIP {name}: no cached checkpoint under {download_root}")
             continue
-        model = whisper_tpu.load_model(name, download_root=args.download_root)
+        model = whisper_tpu.load_model(name, download_root=download_root)
         validate_jfk(model, name)  # config #1/#4: transcript + word timing
         validate_translate_beam(model, name)  # config #2
         validate_longform(model, name, args.longform_audio)  # config #3
@@ -239,7 +346,7 @@ def main():
             validate_librispeech(model, args.librispeech, args.limit)
         if args.quantize:
             qmodel = whisper_tpu.load_model(
-                name, download_root=args.download_root, quantize=args.quantize
+                name, download_root=download_root, quantize=args.quantize
             )
             qname = f"{name}[{args.quantize}]"
             validate_jfk(qmodel, qname)
