@@ -13,12 +13,15 @@ emit EOT, so the token count is pinned for comparability).
 
 Default (no flags): a SUITE of the configurations the judged verdict tracks
 — b1 bf16 (fused-step kernel), b1 int8+kv-int8, b16 bf16, b16
-int8+kv-int8, beam-5 b1/b8, e2e b16, one chunked 5-minute file — each
-timed ``--repeats`` times with
-median/min/max reported, plus an HBM-bandwidth probe before and after to
-flag noisy-neighbor contention on the shared chip.  The single JSON line
-keeps the driver contract (metric/value/unit/vs_baseline = the b16 bf16
-headline) and carries the full rows under "rows".
+int8+kv-int8, beam-5 b1/b8, turbo/tiny b16, e2e b16 (single group and a
+64-file prefetch-pipelined stream), words mode, and one chunked 6.75-minute
+file (with and without timestamps) — each timed ``--repeats`` times with
+median/min/max reported.  Contention handling: every row is bracketed by an
+HBM-bandwidth probe; a row whose probe (a PHYSICAL measurement, never the
+row's own RTF) drops below 85% of the session's best re-runs up to twice,
+and rows that stayed contended are flagged "contended" in the output.  The
+single JSON line keeps the driver contract (metric/value/unit/vs_baseline =
+the b16 bf16 headline) and carries the full rows under "rows".
 
 Baseline: the reference's README (README.md:62-71) publishes only *relative*
 speeds on A100; community measurements of openai/whisper large-v3 greedy on
@@ -47,19 +50,38 @@ SUITE = [
     ("beam5_b1", dict(batch=1, beam=5)),
     ("beam5_b1_int8_kvint8", dict(batch=1, beam=5, quantize="int8", kv_int8=True)),
     ("beam5_b8", dict(batch=8, beam=5)),
-    ("e2e_b16", dict(batch=16, e2e=True)),
+    # the reference's published model-speed table spans tiny..turbo
+    # (reference README.md:66-71); cover its recommended model and the
+    # smallest one alongside the large-v3 rows
+    ("turbo_b16", dict(batch=16, model_name="large-v3-turbo")),
+    ("tiny_b16", dict(batch=16, model_name="tiny")),
+    # end-to-end transcribe_batch rows decode FORCED production-shaped token
+    # sequences (leading timestamp, text, final window timestamp, EOT) with
+    # timestamp rules ACTIVE: every per-step computation still runs — only
+    # the committed token is pinned (engine._greedy_update) — so segmentation
+    # advances a full window per round exactly as real checkpoints do.
+    # Random weights otherwise emit mid-window timestamps whose partial seek
+    # advances re-decode each window's tail, an artifact real checkpoints
+    # don't have (docs/BENCHMARKS.md).
+    ("e2e_b16", dict(batch=16, e2e=True, forced="ts")),
+    # a 64-file stream at the same batch: groups prefetch-pipelined
+    # (transcribe_batch overlaps group k+1's audio decode + upload + mel
+    # with group k's engine rounds) — the steady-state serving shape
+    ("e2e_b16_stream64", dict(batch=16, e2e=True, n_files=64, forced="ts")),
+    # words mode (reference --word_timestamps, config #4): forced tokens +
+    # word_seek_refinement=False pin round count (random-weight alignments
+    # put word ends anywhere in the window, so refinement's rewind — whose
+    # cost on real checkpoints is near zero — would dominate); measures the
+    # alignment pipeline (teacher-forced QK forward, median, DTW, words)
+    ("words_b16", dict(batch=16, e2e=True, word_timestamps=True, forced="ts")),
     # ONE long file, chunked-parallel (transcribe_chunked) — the sequential
     # reference loop runs this at b1 throughput; chunking batches it.
     # 405 s -> exactly 16 chunks at the default 5 s overlap: the one-round
-    # case with no padding rows (chunk count vs engine rows is the user's
-    # file length, not a tunable; this row measures the stitched pipeline
-    # at full engine occupancy).  without_timestamps pins one decode round
-    # per window in BOTH the chunked and any sequential comparison: random
-    # weights otherwise emit mid-window timestamps whose partial seek
-    # advances re-decode each chunk's tail at the pinned token count — an
-    # artifact real checkpoints don't have (docs/BENCHMARKS.md, chunked
-    # section, has the 2x2 with/without table)
+    # case with no padding rows.  Two rows: the legacy without_timestamps
+    # pin (round-3 comparable) and the production default — timestamps ON,
+    # round count pinned by the forced final-window timestamp instead.
     ("e2e_chunked_405s", dict(chunked_minutes=6.75, without_timestamps=True)),
+    ("e2e_chunked_405s_ts", dict(chunked_minutes=6.75, forced="ts")),
 ]
 HEADLINE_ROW = "b16_bf16"
 
@@ -105,8 +127,23 @@ def run_config(
     force_accept=False,
     chunked_minutes=None,
     without_timestamps=False,
+    n_files=None,
+    forced=None,
 ):
-    """Build the model, compile, time `repeats` runs; returns (metric, [s])."""
+    """Build the model, compile, time `repeats` runs; returns (metric, [s]).
+
+    ``forced="ts"``: pin every greedy decode to a production-shaped token
+    sequence — ``<|0.00|>``, ``tokens-3`` text tokens, a final
+    full-window timestamp, EOT — via the benchmark-only
+    ``DecodingTask._forced_tokens`` hook.  All per-step compute still runs;
+    only the committed token is pinned, so random weights decode with the
+    seek/segmentation behavior of a real checkpoint (one round per window,
+    timestamp rules active).
+
+    ``n_files`` (e2e only): number of 30 s files in the stream; defaults to
+    ``batch`` (one engine group).  More files than ``batch`` exercises
+    transcribe_batch's prefetch-pipelined grouping.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -150,9 +187,29 @@ def run_config(
         + (f"_draft_{draft}{draft_len}" if draft else "")
         + ("_forceacc" if force_accept else "")
         + ("_e2e" if e2e else "")
+        + (f"_n{n_files}" if n_files else "")
         + ("_words" if word_timestamps else "")
+        + ("_forcedts" if forced else "")
     )
     kv_dtype = "int8" if kv_int8 else None
+
+    if forced == "ts":
+        from whisper_tpu.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(
+            model.is_multilingual, num_languages=model.num_languages,
+            language="en", task="transcribe",
+        )
+        text = rng.randint(1000, 20000, size=max(tokens - 3, 1))
+        DecodingTask._forced_tokens = np.asarray(
+            [tok.timestamp_begin, *text, tok.timestamp_begin + 1500, tok.eot],
+            np.int32,
+        )
+    elif forced:
+        raise ValueError(f"unknown forced mode: {forced!r}")
+    else:
+        # clear any pin a previous suite row installed
+        DecodingTask._forced_tokens = None
 
     if chunked_minutes:
         # ONE long file through transcribe_chunked: fixed overlapping 30 s
@@ -163,6 +220,7 @@ def run_config(
         metric = (
             f"rtf_{model_name.replace('-', '_')}_chunked{chunked_minutes:g}m"
             + ("_nots" if without_timestamps else "")
+            + ("_forcedts" if forced else "")
         )
         audio = (rng.randn(int(16000 * seconds)) * 0.1 * 32768.0).astype(np.int16)
         kw = dict(
@@ -190,7 +248,7 @@ def run_config(
         # int16 transfer path the product uses
         audios = [
             (rng.randn(16000 * 30) * 0.1 * 32768.0).astype(np.int16)
-            for _ in range(batch)
+            for _ in range(n_files or batch)
         ]
         kw = dict(
             batch_size=batch, language="en", temperature=0.0,
@@ -200,6 +258,13 @@ def run_config(
             no_speech_threshold=None,
             word_timestamps=word_timestamps,
         )
+        if word_timestamps and forced:
+            # pin round count: random-weight alignments put word ends
+            # anywhere in the window, so the reference's seek-to-last-word
+            # rewind (near-free on real checkpoints) would re-decode most of
+            # every window; the alignment pipeline itself is what this
+            # configuration measures
+            kw["word_seek_refinement"] = False
         if word_timestamps:
             # real checkpoints always carry an alignment-head dump (e.g.
             # large-v3 selects 10 of 640 heads); random weights would fall
@@ -229,14 +294,20 @@ def run_config(
         if force_accept:
             task._force_accept = True
 
-        task.run(jnp.asarray(mel))  # warmup/compile
+        # stage the mel on device ONCE: this row measures the ENGINE
+        # (encoder + prefill + token loop), as documented above — re-sending
+        # the f32 mel every run would bill ~0.8 s of remote-tunnel transfer
+        # (24 MB at ~30 MB/s, b16) to the engine.  The e2e rows measure the
+        # real input path (int16 audio upload + on-device mel) instead.
+        mel_dev = jax.device_put(jnp.asarray(mel))
+        task.run(mel_dev)  # warmup/compile
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            task.run(jnp.asarray(mel))
+            task.run(mel_dev)
             times.append(time.perf_counter() - t0)
 
-    audio_seconds = batch * 30.0
+    audio_seconds = (n_files or batch) * 30.0 if e2e else batch * 30.0
     return metric, [audio_seconds / t for t in times]
 
 
@@ -253,17 +324,46 @@ def _row_entry(metric, rtfs):
 
 
 def run_suite(repeats):
+    # Contention handling: the chip is shared (multi-tenant) and reached over
+    # a remote tunnel; a noisy neighbor can halve every number for minutes at
+    # a time.  The criterion for re-running a row is PHYSICAL — the HBM
+    # bandwidth probe before/after the row — never the row's own RTF value,
+    # so a slow engine can't be laundered into a fast number by retrying.
     probe_before = _memory_probe_gbps()
+    best = {"gbps": max(probe_before, _memory_probe_gbps())}
+    CONTENDED = 0.85  # probe below this fraction of the session's best
+
+    def probed_row(name, cfg):
+        attempts = []
+        for attempt in range(3):
+            p0 = _memory_probe_gbps()
+            metric, rtfs = run_config(repeats=repeats, **cfg)
+            if max(rtfs) > 1.25 * min(rtfs):
+                _, extra = run_config(repeats=2, **cfg)
+                rtfs = rtfs + extra
+            p1 = _memory_probe_gbps()
+            best["gbps"] = max(best["gbps"], p0, p1)
+            contended = min(p0, p1) < CONTENDED * best["gbps"]
+            attempts.append((metric, rtfs, p0, p1, contended))
+            if not contended:
+                break
+            time.sleep(5.0)
+        # prefer the first probe-clean attempt; if every attempt was
+        # contended, report the best-probed one and say so
+        clean = [a for a in attempts if not a[4]]
+        metric, rtfs, p0, p1, contended = (
+            clean[0] if clean else max(attempts, key=lambda a: min(a[2], a[3]))
+        )
+        row = {"row": name, **_row_entry(metric, rtfs)}
+        row["probe_gbps"] = [p0, p1]
+        if contended:
+            row["contended"] = True
+        return row
+
     rows = []
     headline = None
     for name, cfg in SUITE:
-        metric, rtfs = run_config(repeats=repeats, **cfg)
-        # the chip is shared: if the spread is wide, sample more and let the
-        # median reject the contended runs
-        if max(rtfs) > 1.25 * min(rtfs):
-            _, extra = run_config(repeats=2, **cfg)
-            rtfs = rtfs + extra
-        row = {"row": name, **_row_entry(metric, rtfs)}
+        row = probed_row(name, cfg)
         rows.append(row)
         if name == HEADLINE_ROW:
             headline = row
@@ -327,6 +427,19 @@ def main():
         "'self' = target drafts for itself (acceptance sanity, not a perf "
         "ceiling — the draft costs as much as the target)",
     )
+    parser.add_argument(
+        "--n-files", type=int, default=None,
+        help="with --e2e: stream length in 30 s files (default: --batch); "
+        "more files than --batch exercises the prefetch-pipelined grouping",
+    )
+    parser.add_argument(
+        "--forced", default=None, choices=[None, "ts"],
+        help="pin greedy decodes to a production-shaped token sequence "
+        "(leading timestamp, text, final window timestamp, EOT) via the "
+        "benchmark-only DecodingTask._forced_tokens hook — every per-step "
+        "computation still runs, but segmentation/seek behaves as with a "
+        "real checkpoint (one round per window, timestamp rules active)",
+    )
     parser.add_argument("--draft-len", type=int, default=4)
     parser.add_argument(
         "--force-accept", action="store_true",
@@ -341,7 +454,7 @@ def main():
     defaults = dict(
         model=None, batch=16, tokens=110, quantize=None, beam=0,
         kv_int8=False, e2e=False, word_timestamps=False, draft=None,
-        draft_len=4, force_accept=False,
+        draft_len=4, force_accept=False, n_files=None, forced=None,
     )
     if any(getattr(args, k) != v for k, v in defaults.items()):
         args.single = True
@@ -371,6 +484,8 @@ def main():
         draft=args.draft,
         draft_len=args.draft_len,
         force_accept=args.force_accept,
+        n_files=args.n_files,
+        forced=args.forced,
     )
     best = max(rtfs)
     print(

@@ -42,7 +42,17 @@ def main():
         "30 s (random weights otherwise emit mid-window timestamps that "
         "force extra pinned-length decode rounds, hitting the chunked arm "
         "hardest: each chunk re-decodes its tail)")
+    ap.add_argument(
+        "--forced-ts", action="store_true",
+        help="keep timestamp decoding ON but pin every window's committed "
+        "tokens to a production-shaped sequence (leading timestamp, text, "
+        "final full-window timestamp, EOT) via the benchmark-only "
+        "DecodingTask._forced_tokens hook: per-step compute is unchanged, "
+        "and BOTH arms advance one full window per round like a real "
+        "checkpoint — the honest with-timestamps comparison")
     args = ap.parse_args()
+    if args.forced_ts and args.without_timestamps:
+        ap.error("--forced-ts and --without-timestamps are alternatives")
 
     import whisper_tpu  # noqa: F401  (attaches methods)
     from whisper_tpu.chunked import transcribe_chunked
@@ -72,6 +82,20 @@ def main():
         kv_cache_dtype="int8" if args.kv_int8 else None,
         without_timestamps=args.without_timestamps,
     )
+
+    if args.forced_ts:
+        from whisper_tpu.decoding import DecodingTask
+        from whisper_tpu.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(
+            model.is_multilingual, num_languages=model.num_languages,
+            language="en", task="transcribe",
+        )
+        text = rng.randint(1000, 20000, size=max(args.tokens - 3, 1))
+        DecodingTask._forced_tokens = np.asarray(
+            [tok.timestamp_begin, *text, tok.timestamp_begin + 1500, tok.eot],
+            np.int32,
+        )
 
     def timed(label, fn):
         fn()  # warmup/compile
