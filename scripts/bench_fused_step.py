@@ -50,8 +50,18 @@ def main():
     ap.add_argument("--ctx", type=int, default=256)
     ap.add_argument("--rows", type=int, default=1,
                     help="query rows B (beam/best-of group of ONE audio)")
+    ap.add_argument("--audios", type=int, default=0,
+                    help="multi-audio greedy batch: A audios, one row each "
+                         "(overrides --rows; HBM is tight at A=16 — prefer "
+                         "--skip-xla and a separate XLA-only run)")
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--pending", action="store_true",
+                    help="bench the deferred-KV (write-block) step variants "
+                         "— the engine's greedy wide-model configuration")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--skip-fused", action="store_true",
+                    help="XLA-only run (skips the fused pack/pads/cache — "
+                         "needed to fit an A=16 XLA bench in HBM)")
     ap.add_argument("--check", action="store_true",
                     help="verify kernel output vs the XLA scan on this device")
     args = ap.parse_args()
@@ -66,23 +76,38 @@ def main():
 
         params = quantize_params(params, scopes=("decoder",))
 
-    rng = np.random.RandomState(0)
-    feats = jnp.asarray(rng.randn(1, 1500, 1280) * 0.3, jnp.bfloat16)
+    A = args.audios or 1
+    if args.audios:
+        args.rows = args.audios  # one row per audio (n_group == 1)
+    n_group = 1 if args.audios else args.rows
+
+    key = jax.random.PRNGKey(1)
+    feats = (jax.random.normal(key, (A, 1500, 1280)) * 0.3).astype(jnp.bfloat16)
     xk, xv = compute_cross_kv(params, dims, feats)
     if args.kv_int8:
         from whisper_tpu.quantize import quantize_kv
 
         xk_c, xv_c = quantize_kv(xk), quantize_kv(xv)
+        # free the bf16 originals NOW — at A=16 they are 3.9 GB that
+        # otherwise coexist with their int8 copies + pads until the del
+        # below, overflowing HBM
+        jax.block_until_ready((xk_c["q"], xv_c["q"]))
+        xk = xv = None
     else:
         xk_c, xv_c = xk, xv
     T = args.ctx
     B = args.rows
     # the XLA bench donates its cache (deleting the cross leaves); give it
-    # private copies so the fused inputs survive
-    cache = init_kv_cache(
-        dims, B, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
-        jnp.bfloat16, ctx=T,
-    )
+    # private copies so the fused inputs survive.  Skip the copy entirely
+    # when the XLA path won't run — at A=16 the extra cross-KV copy
+    # (3.9 GB) pushes the bench over the chip's HBM
+    if args.skip_xla and not args.check:
+        cache = None
+    else:
+        cache = init_kv_cache(
+            dims, B, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
+            jnp.bfloat16, ctx=T,
+        )
     tokens = jnp.asarray([42] * B, jnp.int32)
     t = jnp.int32(16)
 
@@ -113,27 +138,29 @@ def main():
 
     # prepare the fused inputs BEFORE the XLA bench donates the cache (the
     # donated cache shares the cross-KV buffers, which donation deletes)
-    pack = pack_fused_weights(params, dims)
-    xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
-    # the fused bench donates its cache too; pad_cross_kv copies k/v (pad)
-    # but returns the int8 SCALES by reference, so the cache must not share
-    # them — donating a buffer that is also a live kernel input fails at
-    # runtime with an opaque InvalidArgument
-    cache_fused = init_kv_cache(
-        dims, B, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
-        jnp.bfloat16, ctx=T,
-    )
-    if args.skip_xla and not args.check:
-        cache = None
-    del xk, xv, xk_c, xv_c, feats
-    jax.block_until_ready((pack.w, xkp))
+    if args.skip_fused:
+        pack = xkp = xvp = xks = xvs = cache_fused = None
+        del xk, xv, xk_c, xv_c, feats
+    else:
+        pack = pack_fused_weights(params, dims)
+        xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
+        # the fused bench donates its cache too; pad_cross_kv copies k/v
+        # (pad) but returns the int8 SCALES by reference, so the cache must
+        # not share them — donating a buffer that is also a live kernel
+        # input fails at runtime with an opaque InvalidArgument
+        cache_fused = init_kv_cache(
+            dims, B, jax.tree.map(jnp.copy, xk_c), jax.tree.map(jnp.copy, xv_c),
+            jnp.bfloat16, ctx=T,
+        )
+        del xk, xv, xk_c, xv_c, feats
+        jax.block_until_ready((pack.w, xkp))
     hbm()
 
     if args.check:
         # one-step output agreement, kernel vs XLA scan, ON the TPU (the
         # CPU tests exercise the interpreter, not the Mosaic lowering)
         h_ref, _ = jax.jit(
-            lambda p, c: decoder_step(p, dims, tokens, t, c, n_group=B)
+            lambda p, c: decoder_step(p, dims, tokens, t, c, n_group=n_group)
         )(params, cache)
         h_fus, _ = jax.jit(
             lambda p, w, c: decoder_step_fused(
@@ -144,20 +171,70 @@ def main():
         scale = float(jnp.max(jnp.abs(h_ref.astype(jnp.float32))))
         print(f"TPU output check: maxdiff {d:.4g} (scale {scale:.3g})", flush=True)
 
+    if args.pending:
+        # the engine's greedy wide-model config: deferred W-step KV write
+        # blocks (no full-cache rewrite inside the timed step; the engine
+        # flushes once per W steps).  Time column w=W-1 — every pending
+        # column participates in attention, the steady-state shape.
+        from whisper_tpu.models.whisper import (
+            decoder_step_fused_pending,
+            decoder_step_pending,
+        )
+
+        W = 8
+        L_, H_ = dims.n_text_layer, dims.n_text_head
+        D_ = dims.n_text_state // H_
+        pk0 = (jax.random.normal(jax.random.PRNGKey(2), (L_, B, H_, D_, W))
+               * 0.05).astype(jnp.bfloat16)
+        pv0 = (jax.random.normal(jax.random.PRNGKey(3), (L_, B, H_, D_, W))
+               * 0.05).astype(jnp.bfloat16)
+        bs = jnp.int32(8)
+        w_col = jnp.int32(W - 1)
+
+        if not args.skip_xla:
+
+            def xla_pend(p, state):
+                c, pk, pv = state
+                h, pk, pv = decoder_step_pending(
+                    p, dims, tokens, t, bs, w_col, pk, pv, c,
+                    n_group=n_group,
+                )
+                return h, (c, pk, pv)
+
+            bench(xla_pend, params, (cache, pk0, pv0), "xla  pending   ")
+            hbm()
+
+        def fused_pend(wts, state):
+            c, pk, pv = state
+            h, pk, pv = decoder_step_fused_pending(
+                wts[0], wts[1], dims, tokens, t, bs, w_col, pk, pv, c,
+                *wts[2:],
+            )
+            return h, (c, pk, pv)
+
+        if not args.skip_fused:
+            bench(
+                fused_pend, (params, pack, xkp, xvp, xks, xvs),
+                (cache_fused, jnp.copy(pk0), jnp.copy(pv0)), "fused pending  ",
+            )
+            hbm()
+        return
+
     if not args.skip_xla:
         bench(
-            lambda p, c: decoder_step(p, dims, tokens, t, c, n_group=B),
+            lambda p, c: decoder_step(p, dims, tokens, t, c, n_group=n_group),
             params, cache, "xla  layer-scan",
         )
         hbm()
 
-    bench(
-        lambda w, c: decoder_step_fused(
-            w[0], w[1], dims, tokens, t, c, *w[2:]
-        ),
-        (params, pack, xkp, xvp, xks, xvs), cache_fused, "fused pallas   ",
-    )
-    hbm()
+    if not args.skip_fused:
+        bench(
+            lambda w, c: decoder_step_fused(
+                w[0], w[1], dims, tokens, t, c, *w[2:]
+            ),
+            (params, pack, xkp, xvp, xks, xvs), cache_fused, "fused pallas   ",
+        )
+        hbm()
 
 
 if __name__ == "__main__":

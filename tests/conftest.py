@@ -48,3 +48,15 @@ def pytest_collection_modifyitems(config, items):
 def random():
     _random.seed(42)
     np.random.seed(42)
+
+
+# The XLA CPU compiler segfaults deterministically once a single process has
+# accumulated ~190 tests' worth of live compiled executables (observed at
+# tests/test_speculative.py::test_speculative_buffer_cap in full-suite runs;
+# every sub-slice of the suite passes in isolation).  Dropping the jit caches
+# between modules bounds that accumulation — modules rarely share programs
+# (different model dims per file), so the recompile cost is minor.
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

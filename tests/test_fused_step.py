@@ -201,9 +201,27 @@ def test_fused_eligible_beam_single_audio(model):
     assert spec.write_block == 0
 
 
-def test_fused_ineligible_batch(model):
+def test_fused_eligible_batch_greedy(model):
+    # multi-audio greedy batches use the fused kernel's per-row layout,
+    # and keep deferred write blocks (per-row pending blocks)
     task = DecodingTask(
         model, DecodingOptions(language="en", fused_step=True, sample_len=2)
+    )
+    task.spec = dataclasses.replace(task.spec, write_block=4)
+    spec, pack = task._fused_variant(task.spec, 2)
+    assert spec.fused_step and pack is not None
+    assert spec.write_block == 4
+
+
+def test_fused_ineligible_batch_group(model):
+    # multi-audio WITH row groups (best-of sampling over a batch) stays on
+    # the XLA engine: the kernel serves A == 1 or A == B only
+    task = DecodingTask(
+        model,
+        DecodingOptions(
+            language="en", temperature=0.7, best_of=3, fused_step=True,
+            sample_len=2,
+        ),
     )
     spec, pack = task._fused_variant(task.spec, 2)
     assert not spec.fused_step
@@ -249,6 +267,116 @@ def test_fused_pending_matches_decoder_step_pending(params, feats, quantize, kv_
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(pk), np.asarray(pk_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(pv_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("quantize,kv_int8,A", [
+    # A=3: SG=3 grouped self phase, CG=1; A=4: SG=4 AND CG=2 grouped
+    # cross phases (two audios' chunks per phase)
+    (False, False, 3), (True, False, 3), (True, True, 3), (False, True, 3),
+    (False, False, 4), (True, True, 4),
+])
+def test_fused_step_matches_decoder_step_multi(params, feats, quantize, kv_int8, A):
+    """A=B multi-audio rows with per-row positions parity with XLA."""
+    p = quantize_params(params, scopes=("decoder",)) if quantize else params
+    scales = [1.0, 0.7, -0.4, 1.3][:A]
+    feats3 = jnp.concatenate([feats * s for s in scales], axis=0)
+    xk, xv = compute_cross_kv(p, DIMS, feats3)  # (L, A, H, D, Ta)
+    xk_c = quantize_kv(xk) if kv_int8 else xk
+    xv_c = quantize_kv(xv) if kv_int8 else xv
+
+    T = 64
+    positions = [7, 12, 3, 30][:A]
+    t_rows = jnp.asarray(positions, jnp.int32)  # heterogeneous positions
+    cache = init_kv_cache(DIMS, A, xk_c, xv_c, jnp.float32, ctx=T)
+    rng = np.random.RandomState(4)
+    sk = rng.randn(*cache.self_k.shape).astype(np.float32) * 0.1
+    sv = rng.randn(*cache.self_v.shape).astype(np.float32) * 0.1
+    for b, tb in enumerate(positions):  # zero beyond each row's boundary
+        sk[:, b, ..., tb:] = 0
+        sv[:, b, ..., tb:] = 0
+    cache = cache._replace(self_k=jnp.asarray(sk), self_v=jnp.asarray(sv))
+
+    tokens = jnp.asarray([42, 7, 300, 1999][:A], jnp.int32)
+    hid_ref, cache_ref = decoder_step(p, DIMS, tokens, t_rows, cache)
+
+    pack = pack_fused_weights(p, DIMS)
+    xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
+    hid, cache_f = decoder_step_fused(
+        p, pack, DIMS, tokens, t_rows, cache, xkp, xvp, xks, xvs
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(hid), np.asarray(hid_ref), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_f.self_k), np.asarray(cache_ref.self_k), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_f.self_v), np.asarray(cache_ref.self_v), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("quantize,kv_int8", [(False, False), (True, True)])
+def test_fused_pending_matches_multi(params, feats, quantize, kv_int8):
+    """Multi-audio pending blocks: per-row [cache | pending | new] parity."""
+    from whisper_tpu.models.whisper import (
+        decoder_step_fused_pending,
+        decoder_step_pending,
+    )
+
+    A = 3
+    p = quantize_params(params, scopes=("decoder",)) if quantize else params
+    feats3 = jnp.concatenate([feats, feats * 0.5, feats * 1.3], axis=0)
+    xk, xv = compute_cross_kv(p, DIMS, feats3)
+    xk_c = quantize_kv(xk) if kv_int8 else xk
+    xv_c = quantize_kv(xv) if kv_int8 else xv
+
+    T, w, W = 64, 2, 4
+    bs_rows = jnp.asarray([9, 5, 14], jnp.int32)  # per-row block starts
+    cache = init_kv_cache(DIMS, A, xk_c, xv_c, jnp.float32, ctx=T)
+    rng = np.random.RandomState(5)
+    sk = rng.randn(*cache.self_k.shape).astype(np.float32) * 0.1
+    sv = rng.randn(*cache.self_v.shape).astype(np.float32) * 0.1
+    for b, tb in enumerate([9, 5, 14]):
+        sk[:, b, ..., tb:] = 0
+        sv[:, b, ..., tb:] = 0
+    cache = cache._replace(self_k=jnp.asarray(sk), self_v=jnp.asarray(sv))
+    L, H = DIMS.n_text_layer, DIMS.n_text_head
+    D = DIMS.n_text_state // H
+    pend_k = jnp.asarray(rng.randn(L, A, H, D, W).astype(np.float32) * 0.1)
+    pend_v = jnp.asarray(rng.randn(L, A, H, D, W).astype(np.float32) * 0.1)
+
+    tokens = jnp.asarray([7, 99, 1234], jnp.int32)
+    t = bs_rows + w
+    h_ref, pk_ref, pv_ref = decoder_step_pending(
+        p, DIMS, tokens, t, bs_rows, jnp.int32(w), pend_k, pend_v, cache
+    )
+    pack = pack_fused_weights(p, DIMS)
+    xkp, xvp, xks, xvs = pad_cross_kv(xk_c, xv_c)
+    h, pk, pv = decoder_step_fused_pending(
+        p, pack, DIMS, tokens, t, bs_rows, jnp.int32(w),
+        pend_k, pend_v, cache, xkp, xvp, xks, xvs,
+    )
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(pk_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(pv_ref), atol=1e-5)
+
+
+def test_fused_engine_token_parity_multi(model):
+    """A batch of 2 distinct audios decodes the same tokens fused as XLA."""
+    rng = np.random.RandomState(8)
+    mel2 = jnp.asarray(rng.randn(2, 80, 3000) * 0.4, jnp.float32)
+    base = DecodingOptions(language="en", temperature=0.0, sample_len=6)
+    plain = DecodingTask(
+        model, dataclasses.replace(base, fused_step=False)
+    ).run(mel2)
+    fused_task = DecodingTask(model, dataclasses.replace(base, fused_step=True))
+    spec, pack = fused_task._fused_variant(fused_task.spec, 2)
+    assert spec.fused_step and pack is not None
+    fused = fused_task.run(mel2)
+    for i in range(2):
+        assert plain[i].tokens == fused[i].tokens
+        assert abs(plain[i].avg_logprob - fused[i].avg_logprob) < 1e-4
 
 
 def test_fused_write_block_engine_token_parity(model, mel):

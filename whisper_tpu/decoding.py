@@ -556,7 +556,11 @@ class DecodingTask:
         """
         from dataclasses import replace as dc_replace
 
-        if not (self._fused_ok and n_audio == 1):
+        # single audio: B = 1 greedy or an n_group beam/best-of row group;
+        # multi audio: one row per audio (greedy/sampling, n_group == 1) —
+        # the kernel streams per-row self-KV blocks and per-audio cross
+        # chunks (fused_step_pallas "multi" layout)
+        if not (self._fused_ok and (n_audio == 1 or self.n_group == 1)):
             return spec, None
         from .ops.attention import ambient_mesh
 
@@ -571,19 +575,26 @@ class DecodingTask:
             pack = pack_fused_weights(self.model.params, self.model.dims)
             self.model._fused_pack = pack
         # deferred KV write blocks with the fused kernel: a measured win for
-        # int8 configs (b1 int8+kv-int8 101.7 -> 108.8 RTF), but a slight
-        # LOSS for all-bf16 — the kernel must shrink its cross-attention
-        # chunks 512 -> 256 to fit the pending block in VMEM, which costs
-        # more than the saved full-cache rewrite (b1 bf16 77.3 -> 76.6).
-        # Gate on the kernel's own chunk-shrink condition.
+        # single-row int8 configs (b1 int8+kv-int8 101.7 -> 108.8 RTF), but
+        # a slight LOSS for single-row all-bf16 — the kernel must shrink its
+        # cross-attention chunks 512 -> 256 to fit the pending block in the
+        # default VMEM budget, which costs more than the saved full-cache
+        # rewrite (b1 bf16 77.3 -> 76.6).  Gate on the kernel's own
+        # chunk-shrink condition.  Multi-audio (n_audio > 1) keeps pending
+        # blocks in ALL dtypes: its per-row blocks are small enough to keep
+        # chunks at 512 under the raised VMEM budget, and the full-cache
+        # rewrite it avoids costs ~1.1 ms/step at b16.
         from .quantize import is_quantized
 
         all_bf16 = not is_quantized(
             self.model.params["decoder"]["blocks"]["q_w"]
         ) and self.options.kv_cache_dtype != "int8"
-        # pending blocks are single-row only: best-of groups (n_group > 1,
-        # beam 0) fall back to per-step KV writes with the fused kernel
-        wb = 0 if (all_bf16 or self.n_group > 1) else spec.write_block
+        # pending blocks: single row, or per-row at multi-audio; best-of
+        # groups (n_group > 1, beam 0) fall back to per-step KV writes
+        if n_audio > 1:
+            wb = spec.write_block
+        else:
+            wb = 0 if (all_bf16 or self.n_group > 1) else spec.write_block
         return dc_replace(spec, fused_step=True, write_block=wb), pack
 
     def run_with_prompts(self, mel, prompts: List[List[int]]) -> List[DecodingResult]:

@@ -557,9 +557,11 @@ def decode_engine(
         # (one cheap pad copy per segment), not from the cache pytree
         from .ops.kernels.fused_step_pallas import pad_cross_kv
 
-        # single-audio only: B = n_group rows (1 greedy; beam/best-of group)
-        # all sharing that audio's cross-KV stream inside the kernel
-        assert n_audio == 1 and fused_pack is not None
+        # single audio: B = n_group rows (1 greedy; beam/best-of group) all
+        # sharing that audio's cross-KV stream inside the kernel.  Multi
+        # audio (greedy, n_group == 1): one row per audio, per-audio cross
+        # chunks + per-row self-KV blocks streamed by the kernel.
+        assert fused_pack is not None and (n_audio == 1 or G == 1)
         xk_pad, xv_pad, xk_s, xv_s = pad_cross_kv(xk_c, xv_c)
     cache = init_kv_cache(dims, B, xk_c, xv_c, compute_dtype, ctx=n_ctx)
     # prefill K/V arrive (L, B, H, P, D); the cache stores time-last

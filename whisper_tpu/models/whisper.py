@@ -456,14 +456,16 @@ def decoder_step_fused(
     tokens: jax.Array,  # (B,) int32
     t: jax.Array,  # scalar or (B,) int32
     cache: KVCache,
-    xk_pad: jax.Array,  # (L, 1, H, D, Ta_pad) — pad_cross_kv output
+    xk_pad: jax.Array,  # (L, A, H, D, Ta_pad) — pad_cross_kv output
     xv_pad: jax.Array,
-    xk_s,  # (L, 1, H, D, 1) f32 or None
+    xk_s,  # (L, H, D, A) f32 or None
     xv_s,
 ) -> Tuple[jax.Array, KVCache]:
-    """decoder_step via the whole-step Pallas kernel (single-audio decodes:
-    B=1 greedy, or B=n_group beam/best-of rows sharing one audio's cross-KV
-    with a uniform position t).
+    """decoder_step via the whole-step Pallas kernel.
+
+    Single-audio decodes (A=1): B=1 greedy, or B=n_group beam/best-of rows
+    sharing one audio's cross-KV with a uniform position t.  Multi-audio
+    greedy batches (A=B): one row per audio, per-row positions t.
 
     Same signature contract as :func:`decoder_step` (embedding, all layers,
     final LayerNorm, KV-cache column write), with the L-layer scan replaced
@@ -513,12 +515,14 @@ def decoder_step_fused_pending(
     xk_s,
     xv_s,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """decoder_step_pending via the whole-step Pallas kernel (B=1).
+    """decoder_step_pending via the whole-step Pallas kernel (B=1, or
+    per-row pending blocks at multi-audio A=B).
 
     Attention covers [cache (< block_start) | pending (cols < w) | new];
     the step's K/V lands in pending column w (the cache is untouched —
     the engine flushes the block every W steps, see flush_pending).
-    Returns (hidden, pend_k', pend_v').
+    ``block_start`` may be per-row at multi-audio.  Returns
+    (hidden, pend_k', pend_v').
     """
     from ..ops.kernels.fused_step_pallas import fused_decoder_layers
 

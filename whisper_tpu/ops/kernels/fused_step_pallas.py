@@ -47,6 +47,7 @@ layer.  The KV-cache column write stays OUTSIDE the kernel (it is ~20 us
 in XLA and writing it here would force a full cache copy through VMEM).
 """
 
+import os
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -57,6 +58,19 @@ import numpy as np
 NEG_INF = float(np.finfo(np.float32).min)
 
 _TA_CHUNK = 512  # cross-attention time-chunk width (lane-aligned)
+
+
+def _group_env(var: str, n: int, default_cap: int) -> int:
+    """Rows/audios per phase: the env override if it divides n, else the
+    largest divisor of n that is <= default_cap."""
+    env = int(os.environ.get(var, "0"))
+    if env and n % env == 0:
+        return env
+    g = 1
+    for d in range(1, min(n, default_cap) + 1):
+        if n % d == 0:
+            g = d
+    return g
 
 # weight tile order in the packed (L, 14, C, C) buffer
 _T_Q, _T_K, _T_V, _T_O, _T_XQ, _T_XO = 0, 1, 2, 3, 4, 5
@@ -150,16 +164,19 @@ def pack_fused_weights(params: Dict[str, Any], dims) -> FusedPack:
 def pad_cross_kv(xk, xv) -> Tuple[jax.Array, jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """Pad cross K/V (possibly int8 dicts) to a TA_CHUNK multiple.
 
-    Input: (L, B, H, D, Ta) arrays or ``quantize_kv`` dicts.  Returns
+    Input: (L, A, H, D, Ta) arrays or ``quantize_kv`` dicts.  Returns
     (k, v, k_scale, v_scale) with time padded to ceil(Ta/512)*512; scales
-    are (L, B, H, D, 1) f32 or None when unquantized.
+    are (L, H, D, A) f32 (the kernel's per-head column layout, one scale
+    column per audio) or None when unquantized.
     """
 
     def split(x):
         if isinstance(x, dict):
-            # keep the trailing unit (time) axis: the kernel consumes the
-            # scales as (H, D, 1) per-head columns
-            return x["q"], x["s"].astype(jnp.float32)
+            # (L, A, H, D, 1) -> (L, H, D, A): the kernel consumes scales as
+            # (H, D, A) per-head columns matching its (H, D, B) query layout
+            return x["q"], jnp.transpose(
+                x["s"].astype(jnp.float32)[..., 0], (0, 2, 3, 1)
+            )
         return x, None
 
     xkq, xks = split(xk)
@@ -201,9 +218,9 @@ def fused_decoder_layers(
     t: jax.Array,  # (B,) i32, uniform — cache positions < t are attended
     self_k: jax.Array,  # (L, B, H, D, T) — per-row caches
     self_v: jax.Array,
-    xk: jax.Array,  # (L, 1, H, D, Ta_pad) int8 or compute dtype — shared
+    xk: jax.Array,  # (L, A, H, D, Ta_pad) int8 or compute dtype
     xv: jax.Array,
-    xk_s: Optional[jax.Array],  # (L, 1, H, D, 1) f32 or None
+    xk_s: Optional[jax.Array],  # (L, H, D, A) f32 or None
     xv_s: Optional[jax.Array],
     pend_k: Optional[jax.Array] = None,  # (L, B, H, D, W) — deferred KV block
     pend_v: Optional[jax.Array] = None,
@@ -218,6 +235,16 @@ def fused_decoder_layers(
     (bf16 residual stream, f32 LN stats / attention softmax / matmul
     accumulation), so outputs agree to bf16 rounding; accumulation order
     inside attention differs (streaming softmax over cross-KV chunks).
+
+    Row/audio shapes: B rows, A = xk.shape[1] audios.  A == 1 serves B = 1
+    greedy and B = n_group beam/best-of rows sharing one audio (uniform
+    position t); A == B serves multi-audio greedy batches (one row per
+    audio, per-row positions t — the transcribe_batch/bench b16 shape):
+    self-attention runs as B/SG grouped phases streaming (1, SG, H, D, T)
+    cache blocks, and cross-attention as (A/CG)*NTA phases streaming
+    (1, CG, H, D, ta_chunk) chunks whose online-softmax updates are masked
+    to the owning rows.  SG/CG trade phase count (the dominant fixed cost,
+    ~3 us/phase) against VMEM; override with WHISPER_TPU_FUSED_SG/_CG/_TC.
 
     With ``pend_k/pend_v/pend_w`` the step attends [cache (< t) | pending
     block (columns < pend_w) | new token] — the kernel half of the engine's
@@ -239,35 +266,61 @@ def fused_decoder_layers(
     T = self_k.shape[-1]
     Ta_pad = xk.shape[-1]
     Ta = dims.n_audio_ctx
-    assert A == 1, "fused step kernel: all rows share one audio's cross-KV"
+    multi = A > 1  # one row per audio (greedy multi-audio batch)
+    assert A == 1 or A == B, (
+        "fused step kernel: rows either all share one audio's cross-KV "
+        "(A=1) or map one-to-one onto audios (A=B)"
+    )
     assert self_k.shape[1] == B
     x_int8 = xk.dtype == jnp.int8
     cdtype = x.dtype
     has_pending = pend_k is not None
-    assert not (has_pending and B > 1), "pending KV blocks are B=1 only"
-    # cross-attention chunk width: the bf16-weights + pending config would
-    # exceed VMEM at 512 (weight tiles 6.6 MB double-buffered + pending
-    # blocks); int8 weights leave plenty of headroom
-    ta_chunk = (
-        256 if (has_pending and pack.w.dtype != jnp.int8 and not x_int8) else _TA_CHUNK
+    assert not (has_pending and B > 1 and not multi), (
+        "pending KV blocks: B=1 or per-row multi-audio only"
     )
+    # cross-attention chunk width: the single-row bf16-weights + pending
+    # config would exceed the default VMEM budget at 512 (weight tiles
+    # 6.6 MB double-buffered + pending blocks); int8 weights leave headroom,
+    # and the multi-audio variant raises vmem_limit_bytes instead (its
+    # per-row/per-audio blocks stay small)
+    # Multi-audio phase grouping: the multi kernel's gap to the byte floor
+    # is per-phase fixed cost (~3 us/phase — measured round 4: owner-only
+    # vs all-rows compute is identical, NTA=1 vs NTA=3 is identical), so
+    # fewer, bigger phases win as long as the blocks fit VMEM.  SG rows
+    # share one self-attention phase (block (1, SG, H, D, T)) and CG
+    # audios share one full-width cross phase (block (1, CG, H, D, 1536)).
+    if multi:
+        SG = _group_env("WHISPER_TPU_FUSED_SG", B, 8)
+        CG = _group_env("WHISPER_TPU_FUSED_CG", A, 2)
+        ta_chunk = int(os.environ.get("WHISPER_TPU_FUSED_TC", "0")) or Ta_pad
+        if Ta_pad % ta_chunk:
+            ta_chunk = Ta_pad
+    elif has_pending and pack.w.dtype != jnp.int8 and not x_int8:
+        SG = CG = 1
+        ta_chunk = 256
+    else:
+        SG = CG = 1
+        ta_chunk = _TA_CHUNK
     NTA = Ta_pad // ta_chunk
-    # phase layout: q, k, v [, one all-rows self-attn phase when B>1], o, xq,
-    # NTA cross chunks, xo, 4 fc1, 4 fc2.  At B=1 self-attention runs inside
-    # the v phase (the proven single-stream layout); at B>1 it gets its own
-    # phase so the (B, H, D, T) self-KV block overlaps the v projection.
-    off = 0 if B == 1 else 1
-    NC = 14 + NTA + off
+    n_cross = (A // CG) * NTA
+    # phase layout: q, k, v, [self-attention phases], o, xq, n_cross cross
+    # chunks, xo, 4 fc1, 4 fc2.  Self-attention: at B=1 it runs inside the
+    # v phase (the proven single-stream layout); at A=1, B>1 (beam group)
+    # one all-rows phase loads the whole (B, H, D, T) block; at A=B each
+    # group of SG rows gets one phase streaming an (1, SG, H, D, T) block.
+    n_self = B // SG
+    off = n_self if multi else (0 if B == 1 else 1)
+    NC = 14 + n_cross + off
 
     if xk_s is None:
-        xk_s = jnp.ones((L, A, H, D, 1), jnp.float32)
-        xv_s = jnp.ones((L, A, H, D, 1), jnp.float32)
+        xk_s = jnp.ones((L, H, D, A), jnp.float32)
+        xv_s = jnp.ones((L, H, D, A), jnp.float32)
 
     c_o = 3 + off
     c_xq = 4 + off
-    c_xo = 5 + off + NTA
-    c_fc1 = 6 + off + NTA
-    c_fc2 = 10 + off + NTA
+    c_xo = 5 + off + n_cross
+    c_fc1 = 6 + off + n_cross
+    c_fc2 = 10 + off + n_cross
 
     def w_tile_index(l, c):
         # q/k/v -> tiles 0..2 | self phases + o hold tile 3 | xq + cross
@@ -278,30 +331,36 @@ def fused_decoder_layers(
             jnp.where(
                 c <= c_o,
                 3,
-                jnp.where(c < c_xo, 4, jnp.where(c == c_xo, 5, c - (NTA + off))),
+                jnp.where(c < c_xo, 4, jnp.where(c == c_xo, 5, c - (n_cross + off))),
             ),
         )
         return (l, tile, 0, 0)
 
     def cross_chunk_index(l, c):
-        j = jnp.clip(c - c_xq - 1, 0, NTA - 1)
-        return (l, 0, 0, 0, j)
+        r = jnp.clip(c - c_xq - 1, 0, n_cross - 1)
+        return (l, r // NTA, 0, 0, r % NTA)
+
+    def self_row_index(l, c):
+        # grouped self-attention phases (multi-audio): phase 3+g loads rows
+        # [g*SG, (g+1)*SG)'s cache block (block index in SG-row units);
+        # clipped constant elsewhere so no spurious refetch
+        return (l, jnp.clip(c - 3, 0, n_self - 1), 0, 0, 0)
 
     W = pend_k.shape[-1] if has_pending else 0
 
     def _kernel_body(
-        t_ref,  # SMEM (2,): [cache boundary t, valid pending columns]
+        t_ref,  # SMEM (1+B,): [valid pending cols, per-row cache boundaries]
         x_ref,  # (B, C) cdtype
         w_ref,  # (1, 1, C, C)
         ws_ref,  # (1, 1, 1, C) f32
         consts_ref,  # (1, 1, 16C) f32
-        sk_ref,  # (1, B, H, D, T)
+        sk_ref,  # (1, B, H, D, T), or (1, 1, H, D, T) per-row when multi
         sv_ref,
-        xk_ref,  # (1, B, H, D, TA_CHUNK)
+        xk_ref,  # (1, 1, H, D, TA_CHUNK)
         xv_ref,
-        xks_ref,  # (1, B, H, D, 1) f32
+        xks_ref,  # (1, H, D, A) f32
         xvs_ref,
-        maybe_pend,  # (pk_ref, pv_ref) (1, B, H, D, W) tuple, or ()
+        maybe_pend,  # (pk_ref, pv_ref) (1, B or 1, H, D, W) tuple, or ()
         # outputs
         out_ref,  # (B, C) cdtype
         knew_ref,  # (1, B, C) cdtype
@@ -320,8 +379,8 @@ def fused_decoder_layers(
     ):
         l = pl.program_id(0)
         c = pl.program_id(1)
-        t_now = t_ref[0]
-        w_now = t_ref[1]
+        w_now = t_ref[0]
+        t_now = t_ref[1]  # uniform-position boundary (A == 1 paths)
 
         def ln(x32, off):
             g = consts_ref[0, 0, off : off + C]
@@ -435,6 +494,84 @@ def fused_decoder_layers(
             attn = attn + w_new * to_col3(kvbuf[1, b : b + 1]).astype(jnp.float32)
             hbuf[b : b + 1] = to_row(attn.astype(cdtype))  # stash for o proj
 
+        def _owner_col(cols, b):
+            """Extract column b of an (H, D, B) buffer as (H, D, 1).
+
+            A one-hot multiply + lane reduce: adding zeros is exact in any
+            dtype, so this is a value-exact dynamic column gather that
+            keeps the per-phase VPU work O(1) in B (computing all B rows'
+            scores per phase would make the whole pass O(A*B) — measured
+            as most of the multi kernel's overhead above the byte floor).
+            """
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, 1, B), 2) == b
+            ).astype(cols.dtype)
+            return jnp.sum(cols * oh, axis=2, keepdims=True)
+
+        def _self_attention_multi(b, slot):
+            """Row b's self-attention in the multi-audio layout: sk_ref/
+            sv_ref hold rows [blk*SG, (blk+1)*SG)'s cache blocks this phase
+            and row b sits in block slot ``slot``.  Compute is the proven
+            B=1 shape on row b's extracted query column; only row b's
+            output lands in hbuf, masked by row b's own cache boundary."""
+            t_b = t_ref[1 + b]
+            scale = D**-0.25
+            q3 = _owner_col(qcol[:], b)  # (H, D, 1), pre-scaled
+            kc = (sk_ref[0, slot] * scale).astype(cdtype)  # (H, D, T)
+            s = jnp.sum(
+                q3.astype(jnp.float32) * kc.astype(jnp.float32),
+                axis=1, keepdims=True,
+            )  # (H, 1, T) f32
+            pos_ok = jax.lax.broadcasted_iota(jnp.int32, (H, 1, T), 2) < t_b
+            s = jnp.where(pos_ok, s, NEG_INF)
+            kn3 = (_owner_col(to_col3(kvbuf[0]), b) * scale).astype(cdtype)
+            s_new = jnp.sum(
+                (q3 * kn3).astype(jnp.float32), axis=1, keepdims=True
+            )  # (H, 1, 1)
+            if has_pending:
+                pk_ref, pv_ref = maybe_pend
+                kp = (pk_ref[0, slot] * scale).astype(cdtype)  # (H, D, W)
+                s_pend = jnp.sum(
+                    q3.astype(jnp.float32) * kp.astype(jnp.float32),
+                    axis=1, keepdims=True,
+                )  # (H, 1, W)
+                pend_ok = (
+                    jax.lax.broadcasted_iota(jnp.int32, (H, 1, W), 2) < w_now
+                )
+                s_pend = jnp.where(pend_ok, s_pend, NEG_INF)
+                m = jnp.maximum(
+                    jnp.maximum(
+                        jnp.max(s, axis=2, keepdims=True),
+                        jnp.max(s_pend, axis=2, keepdims=True),
+                    ),
+                    s_new,
+                )
+            else:
+                m = jnp.maximum(jnp.max(s, axis=2, keepdims=True), s_new)
+            p_old = jnp.exp(s - m)  # (H, 1, T)
+            p_new = jnp.exp(s_new - m)  # (H, 1, 1)
+            denom = jnp.sum(p_old, axis=2, keepdims=True) + p_new
+            if has_pending:
+                p_pend = jnp.exp(s_pend - m)
+                denom = denom + jnp.sum(p_pend, axis=2, keepdims=True)
+            attn = jnp.sum(
+                ((p_old / denom).astype(cdtype)).astype(jnp.float32)
+                * sv_ref[0, slot].astype(jnp.float32),
+                axis=2, keepdims=True,
+            )  # (H, D, 1) f32
+            if has_pending:
+                attn = attn + jnp.sum(
+                    ((p_pend / denom).astype(cdtype)).astype(jnp.float32)
+                    * pv_ref[0, slot].astype(jnp.float32),
+                    axis=2, keepdims=True,
+                )
+            attn = attn + (p_new / denom) * _owner_col(
+                to_col3(kvbuf[1]), b
+            ).astype(jnp.float32)
+            rows = to_row(attn.astype(cdtype))  # (1, C)
+            keep = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0) == b
+            hbuf[:] = jnp.where(keep, rows, hbuf[:])
+
         if B == 1:
 
             @pl.when(c == 2)  # v_new + full self-attention
@@ -444,7 +581,7 @@ def fused_decoder_layers(
                 vnew_ref[0] = v
                 _self_attention_row(0)
 
-        else:
+        elif not multi:
 
             @pl.when(c == 2)  # v_new (attention runs in its own phase)
             def _v():
@@ -457,6 +594,20 @@ def fused_decoder_layers(
                 for b in range(B):
                     _self_attention_row(b)
 
+        else:
+
+            @pl.when(c == 2)  # v_new (per-row attention phases follow)
+            def _v_multi():
+                v = proj(hbuf[:], bias_off=C)
+                kvbuf[1] = v
+                vnew_ref[0] = v
+
+            @pl.when((c >= 3) & (c < 3 + n_self))  # rows [g*SG, (g+1)*SG)
+            def _self_row_multi():
+                blk = c - 3
+                for i in range(SG):
+                    _self_attention_multi(blk * SG + i, i)
+
         @pl.when(c == c_o)  # o proj + residual; ln2
         def _o():
             xres[:] = xres[:] + proj(hbuf[:], bias_off=2 * C)
@@ -467,11 +618,13 @@ def fused_decoder_layers(
             qbuf[:] = proj(hbuf[:], bias_off=3 * C)
             if x_int8:
                 # fold d^-0.5 and per-channel K scales into q (as the XLA
-                # int8 cross path does, models.whisper._cross_step_attention)
+                # int8 cross path does, models.whisper._cross_step_attention);
+                # scales are (H, D, A) — one column per audio, broadcast
+                # over the group at A == 1, exact per row at A == B
                 qcol[:] = (
                     to_col3(qbuf[:]).astype(jnp.float32)
                     * (D**-0.5)
-                    * xks_ref[0, 0]
+                    * xks_ref[0]
                 ).astype(cdtype)
             else:
                 qcol[:] = (to_col3(qbuf[:]) * D**-0.25).astype(cdtype)
@@ -481,15 +634,17 @@ def fused_decoder_layers(
 
         @pl.when((c > c_xq) & (c < c_xo))  # cross-attention chunk
         def _cross():
-            j = c - c_xq - 1
+            # within-audio time-chunk index (phases are audio-block-major)
+            j = (c - c_xq - 1) % NTA if multi else (c - c_xq - 1)
             # int8 K/V convert straight to f32 — int8 values are exact in
             # both bf16 and f32, and Mosaic lacks a 3D int8->bf16 cast
-            if x_int8:
-                kc32 = xk_ref[0, 0].astype(jnp.float32)  # (H, D, TC)
-            else:
-                scale = D**-0.25
-                kc32 = (xk_ref[0, 0] * scale).astype(cdtype).astype(jnp.float32)
-            vc32 = xv_ref[0, 0].astype(jnp.float32)  # (H, D, TC); int8/bf16
+            if not multi:
+                if x_int8:
+                    kc32 = xk_ref[0, 0].astype(jnp.float32)  # (H, D, TC)
+                else:
+                    scale = D**-0.25
+                    kc32 = (xk_ref[0, 0] * scale).astype(cdtype).astype(jnp.float32)
+                vc32 = xv_ref[0, 0].astype(jnp.float32)  # (H, D, TC); int8/bf16
             col = jax.lax.broadcasted_iota(jnp.int32, (H, 1, ta_chunk), 2)
             valid = col + j * ta_chunk < Ta
             if B == 1:
@@ -514,6 +669,61 @@ def fused_decoder_layers(
                     p, axis=2, keepdims=True
                 )
                 xacc[:] = xacc[:] * corr + pv
+            elif multi:
+                # multi-audio: this phase holds CG audios' chunks — for
+                # each, extract the owning row's query column, run the
+                # proven B=1 compute shape (O(CG) VPU work per phase), and
+                # scatter the online-softmax state update into that row's
+                # column
+                a_blk = (c - c_xq - 1) // NTA  # audio-block index (CG rows)
+                for i in range(CG):
+                    a_idx = a_blk * CG + i  # owning row
+                    if x_int8:
+                        kc32_i = xk_ref[0, i].astype(jnp.float32)
+                    else:
+                        kc32_i = (
+                            (xk_ref[0, i] * D**-0.25)
+                            .astype(cdtype).astype(jnp.float32)
+                        )
+                    vc32_i = xv_ref[0, i].astype(jnp.float32)
+                    q3 = _owner_col(qcol[:], a_idx)  # (H, D, 1)
+                    s = jnp.sum(
+                        q3.astype(jnp.float32) * kc32_i, axis=1, keepdims=True
+                    )  # (H, 1, TC) f32
+                    s = jnp.where(valid, s, NEG_INF)
+
+                    own_b = (
+                        jax.lax.broadcasted_iota(jnp.int32, (H, B, 1), 1)
+                        == a_idx
+                    )
+
+                    def _owner_row(state, own_b=own_b):  # (H, B, 1) -> (H, 1, 1)
+                        return jnp.sum(
+                            state * own_b.astype(state.dtype),
+                            axis=1, keepdims=True,
+                        )
+
+                    m_prev = _owner_row(mrow[:, :, :1])  # (H, 1, 1)
+                    m_new = jnp.maximum(
+                        m_prev, jnp.max(s, axis=2, keepdims=True)
+                    )
+                    corr = jnp.exp(m_prev - m_new)  # (H, 1, 1)
+                    p = jnp.exp(s - m_new)  # (H, 1, TC) f32
+                    pv = jnp.sum(
+                        p.astype(cdtype).astype(jnp.float32) * vc32_i,
+                        axis=2, keepdims=True,
+                    )  # (H, D, 1)
+                    l_new = _owner_row(lrow[:, :, :1]) * corr + jnp.sum(
+                        p, axis=2, keepdims=True
+                    )
+                    x_new = _owner_col(xacc[:], a_idx) * corr + pv  # (H, D, 1)
+                    mrow[:, :, :1] = jnp.where(own_b, m_new, mrow[:, :, :1])
+                    lrow[:, :, :1] = jnp.where(own_b, l_new, lrow[:, :, :1])
+                    own_l = (
+                        jax.lax.broadcasted_iota(jnp.int32, (H, D, B), 2)
+                        == a_idx
+                    )
+                    xacc[:] = jnp.where(own_l, x_new, xacc[:])
             else:
                 # row group: per-head MXU dot_generals over all B rows at
                 # once (same inputs as the row loop; f32 accumulation, MXU
@@ -546,7 +756,7 @@ def fused_decoder_layers(
             denom = jnp.transpose(lrow[:, :, :1], (0, 2, 1))  # (H, 1, B)
             out = xacc[:] / denom  # (H, D, B)
             if x_int8:
-                out = out * xvs_ref[0, 0]
+                out = out * xvs_ref[0]  # (H, D, A): per-audio V scales
             hbuf[:] = to_row(out.astype(cdtype))
             xres[:] = xres[:] + proj(hbuf[:], bias_off=4 * C)
             hbuf[:] = ln(xres[:].astype(jnp.float32), 10 * C).astype(cdtype)
@@ -615,11 +825,46 @@ def fused_decoder_layers(
         jax.ShapeDtypeStruct((L, B, C), cdtype),
         jax.ShapeDtypeStruct((L, B, C), cdtype),
     )
+    if multi:
+        # grouped cache blocks stream SG rows per self phase; pending
+        # blocks stream the matching rows
+        self_spec = pl.BlockSpec(
+            (1, SG, H, D, T), self_row_index, memory_space=pltpu.VMEM
+        )
+        pend_spec = pl.BlockSpec(
+            (1, SG, H, D, W or 1), self_row_index, memory_space=pltpu.VMEM
+        )
+    else:
+        self_spec = pl.BlockSpec(
+            (1, B, H, D, T), lambda l, c: (l, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        pend_spec = pl.BlockSpec(
+            (1, B, H, D, W or 1), lambda l, c: (l, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    # VMEM budget: sum of double-buffered input blocks + outputs + scratch,
+    # with slack for Mosaic internals.  The v5e accepts budgets well above
+    # the 16 MB planning default; the grouped multi layout needs ~45-70 MB.
+    cdsz = np.dtype(cdtype).itemsize
+    wsz = np.dtype(pack.w.dtype).itemsize
+    xsz = np.dtype(xk.dtype).itemsize
+    sg_rows = SG if multi else B  # self/pending block rows
+    vmem_budget = (
+        2 * C * C * wsz  # weight tile, double-buffered
+        + 2 * 2 * sg_rows * H * D * T * cdsz  # self k+v blocks
+        + 2 * 2 * CG * H * D * ta_chunk * xsz  # cross k+v chunks
+        + 2 * 2 * sg_rows * H * D * max(W, 1) * cdsz  # pending blocks
+        + 2 * 2 * H * D * A * 4  # scales
+        + (10 * B * C + B * 4 * C) * 4  # scratch + in/out (f32 upper bound)
+        + 8 * 1024 * 1024  # slack (consts, semaphores, Mosaic internals)
+    )
+    vmem_budget = max(vmem_budget, 48 * 1024 * 1024)
     kernel_call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # t
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [w, t_0..t_{B-1}]
             pl.BlockSpec((B, C), lambda l, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C, C), w_tile_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -629,43 +874,24 @@ def fused_decoder_layers(
             pl.BlockSpec(
                 (1, 1, 16 * C), lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM
             ),
+            self_spec,
+            self_spec,
             pl.BlockSpec(
-                (1, B, H, D, T), lambda l, c: (l, 0, 0, 0, 0),
+                (1, CG, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, CG, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, H, D, A), lambda l, c: (l, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, B, H, D, T), lambda l, c: (l, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, H, D, ta_chunk), cross_chunk_index, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, H, D, 1), lambda l, c: (l, 0, 0, 0, 0),
+                (1, H, D, A), lambda l, c: (l, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
-        + (
-            [
-                pl.BlockSpec(
-                    (1, B, H, D, W), lambda l, c: (l, 0, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, B, H, D, W), lambda l, c: (l, 0, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ]
-            if has_pending
-            else []
-        ),
+        + ([pend_spec, pend_spec] if has_pending else []),
         out_specs=(
             pl.BlockSpec((B, C), lambda l, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, C), lambda l, c: (l, 0, 0), memory_space=pltpu.VMEM),
@@ -686,18 +912,19 @@ def fused_decoder_layers(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # B>1 (beam/best-of rows): per-row self-KV blocks + double-
-            # buffered weight tiles + cross chunks total ~17 MB at beam 5;
-            # raise the compiler's VMEM budget accordingly
-            **({"vmem_limit_bytes": 48 * 1024 * 1024} if B > 1 else {}),
+            # B>1: double-buffered block copies dominate VMEM — size the
+            # compiler's budget from the actual specs (grouped multi-audio
+            # blocks are the big ones: SG self rows + CG cross audios),
+            # min 48 MB (the proven beam-group budget)
+            **({"vmem_limit_bytes": vmem_budget} if B > 1 else {}),
         ),
         interpret=interpret,
     )
-    t_scal = jnp.broadcast_to(t, (B,)).astype(jnp.int32)[0]
+    t_vec = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
     w_scal = (
         pend_w.astype(jnp.int32) if has_pending else jnp.int32(0)
     )
-    scal = jnp.stack([t_scal, w_scal])
+    scal = jnp.concatenate([w_scal[None], t_vec])
     args = [scal, x, pack.w, pack.ws, pack.consts, self_k, self_v, xk, xv, xk_s, xv_s]
     if has_pending:
         args += [pend_k, pend_v]
