@@ -860,6 +860,13 @@ def fused_decoder_layers(
         + 8 * 1024 * 1024  # slack (consts, semaphores, Mosaic internals)
     )
     vmem_budget = max(vmem_budget, 48 * 1024 * 1024)
+    if os.environ.get("WHISPER_TPU_FUSED_DEBUG"):
+        print(
+            f"fused_step: B={B} A={A} T={T} Ta_pad={Ta_pad} W={W} "
+            f"SG={SG} CG={CG} tc={ta_chunk} NC={NC} grid={L}x{NC} "
+            f"vmem_budget={vmem_budget / 2**20:.2f} MiB",
+            flush=True,
+        )
     kernel_call = pl.pallas_call(
         kernel,
         grid=grid,
