@@ -205,10 +205,8 @@ def validate_quantized_agreement(model, qmodel, qname: str) -> None:
           f"{agree * 100:.1f}% ({len(full)} vs {len(quant)} tokens)")
 
 
-def validate_librispeech(model, root: str, limit: int) -> None:
-    """Greedy WER over a LibriSpeech-format directory tree."""
-    from whisper_tpu.evaluation import evaluate_batched
-
+def _librispeech_items(root: str, limit: int):
+    """(waveform, reference text) pairs from a LibriSpeech-format tree."""
     pairs = []
     for dirpath, _, files in os.walk(root):
         for fname in sorted(files):
@@ -219,18 +217,48 @@ def validate_librispeech(model, root: str, limit: int) -> None:
                         flac = os.path.join(dirpath, utt_id + ".flac")
                         if os.path.exists(flac):
                             pairs.append((flac, ref))
-    if not pairs:
-        print(f"SKIP librispeech: no .trans.txt under {root}")
-        return
     pairs = pairs[:limit]
     import whisper_tpu
 
-    items = [(whisper_tpu.load_audio(flac), ref) for flac, ref in pairs]
+    return [(whisper_tpu.load_audio(flac), ref) for flac, ref in pairs]
+
+
+def validate_librispeech(model, root: str, limit: int) -> None:
+    """Greedy WER over a LibriSpeech-format directory tree."""
+    from whisper_tpu.evaluation import evaluate_batched
+
+    items = _librispeech_items(root, limit)
+    if not items:
+        print(f"SKIP librispeech: no .trans.txt under {root}")
+        return
     report = evaluate_batched(model, items, language="en", without_timestamps=True)
     print(
-        f"OK librispeech ({len(pairs)} utts): WER {report['wer'] * 100:.2f}% "
+        f"OK librispeech ({len(items)} utts): WER {report['wer'] * 100:.2f}% "
         f"(reference base.en test-clean: 4.26%)"
     )
+
+
+def validate_int8_gate(model, qmodel, root: str, limit: int, qname: str) -> bool:
+    """The int8 acceptance gate behind the beam-5 serving default
+    (evaluation.int8_wer_gate): int8 corpus WER may exceed bf16 by at most
+    INT8_WER_GATE_MAX_DELTA absolute, on the same utterances.  Prints
+    PASS/FAIL; FAIL means the documented int8 default must revert to bf16.
+    """
+    from whisper_tpu.evaluation import int8_wer_gate
+
+    items = _librispeech_items(root, limit)
+    if not items:
+        print(f"SKIP int8 gate: no .trans.txt under {root}")
+        return True
+    gate = int8_wer_gate(model, qmodel, items, language="en")
+    verdict = "PASS" if gate["passed"] else "FAIL"
+    print(
+        f"{verdict} int8 WER gate ({qname}, {gate['n_utterances']} utts): "
+        f"bf16 {gate['bf16_wer'] * 100:.2f}% vs int8 "
+        f"{gate['int8_wer'] * 100:.2f}% (delta {gate['delta'] * 100:+.2f} pp, "
+        f"allowed +{gate['max_delta'] * 100:.2f} pp)"
+    )
+    return gate["passed"]
 
 
 def _build_dry_run_checkpoint(tmpdir: str) -> str:
@@ -328,6 +356,8 @@ def main():
             qname = f"{name}[{qmode}]"
             validate_jfk(qmodel, qname, strict=False)
             validate_quantized_agreement(model, qmodel, qname)
+            if args.librispeech:
+                validate_int8_gate(model, qmodel, args.librispeech, args.limit, qname)
         print("DRY RUN OK: the full validation path executed; drop real "
               f"checkpoints into {download_root} and rerun without --dry-run")
         return 0
@@ -352,7 +382,7 @@ def main():
             validate_jfk(qmodel, qname)
             validate_quantized_agreement(model, qmodel, qname)
             if args.librispeech:
-                validate_librispeech(qmodel, args.librispeech, args.limit)
+                validate_int8_gate(model, qmodel, args.librispeech, args.limit, qname)
         ran += 1
     if ran == 0:
         print("SKIP: no cached checkpoints found; nothing validated (offline?)")

@@ -399,3 +399,73 @@ def test_fused_write_block_engine_token_parity(model, mel):
     fused = task.run(mel)
     assert plain[0].tokens == fused[0].tokens
     assert abs(plain[0].avg_logprob - fused[0].avg_logprob) < 1e-4
+
+
+def test_fused_compile_failure_falls_back(params, mel, monkeypatch):
+    """An auto-selected fused kernel that fails to compile/run degrades to
+    the XLA engine: warning once, correct tokens, and the failed
+    configuration remembered so later decodes skip the kernel entirely.
+    Reference parity: whisper/timing.py:36-45,142-149 (Triton -> CPU on
+    RuntimeError).  BENCH_r04 died for lack of exactly this fallback.
+    """
+    import whisper_tpu.decoding as decoding_mod
+    from whisper_tpu.ops.kernels import fused_step_pallas
+
+    m = Whisper(DIMS, params)  # fresh model: failure cache is per-model
+    base = DecodingOptions(language="en", temperature=0.0, sample_len=6)
+    plain = DecodingTask(m, dataclasses.replace(base, fused_step=False)).run(mel)
+
+    # pretend we're on TPU so the AUTO policy (fused_step=None) selects the
+    # kernel, and make the kernel die like a Mosaic VMEM compile failure
+    monkeypatch.setattr(decoding_mod, "_FUSED_AUTO_BACKENDS", ("tpu", "cpu"))
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError(
+            "Ran out of memory in memory space vmem while allocating (test)"
+        )
+
+    monkeypatch.setattr(fused_step_pallas, "fused_decoder_layers", boom)
+    # earlier tests traced an identical fused decode_engine program; a jit
+    # cache hit would skip the (call-time-imported) kernel entirely — clear
+    # so the trace re-runs and actually reaches the failing kernel
+    jax.clear_caches()
+
+    task = DecodingTask(m, base)
+    spec, pack = task._fused_variant(task.spec, 1)
+    assert spec.fused_step and pack is not None  # auto policy took the kernel
+    with pytest.warns(UserWarning, match="falling back to the XLA engine"):
+        result = task.run(mel)
+    assert calls["n"] == 1
+    assert result[0].tokens == plain[0].tokens
+    assert abs(result[0].avg_logprob - plain[0].avg_logprob) < 1e-4
+    assert m._fused_bad  # verdict cached on the model
+
+    # a later task on the same model never re-tries the failed configuration
+    task2 = DecodingTask(m, base)
+    spec2, pack2 = task2._fused_variant(task2.spec, 1)
+    assert not spec2.fused_step and pack2 is None
+    result2 = task2.run(mel)
+    assert calls["n"] == 1  # kernel not touched again
+    assert result2[0].tokens == plain[0].tokens
+
+
+def test_fused_explicit_true_reraises(params, mel, monkeypatch):
+    """options.fused_step=True disables the fallback: kernel failures are
+    the caller's to see (tests and kernel work want the real error)."""
+    from whisper_tpu.ops.kernels import fused_step_pallas
+
+    m = Whisper(DIMS, params)
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic lowering failed (test)")
+
+    monkeypatch.setattr(fused_step_pallas, "fused_decoder_layers", boom)
+    jax.clear_caches()  # force a retrace through the monkeypatched kernel
+    task = DecodingTask(
+        m, DecodingOptions(language="en", sample_len=2, fused_step=True)
+    )
+    with pytest.raises(RuntimeError, match="mosaic lowering failed"):
+        task.run(mel)
+    assert not getattr(m, "_fused_bad", None)  # no verdict cached

@@ -66,3 +66,67 @@ def test_writers_roundtrip(tmp_path, pair):
         assert path.exists() and path.stat().st_size > 0
     assert (tmp_path / "jfk.vtt").read_text().startswith("WEBVTT")
     assert (tmp_path / "jfk.tsv").read_text().startswith("start\tend\ttext")
+
+
+def _count_decodes(model):
+    """Wrap model.decode (instance attribute shadows the class method) to
+    count ladder rungs; both implementations call model.decode once per
+    attempted temperature."""
+    counts = {"n": 0}
+    orig = model.decode
+
+    def wrapped(*args, **kwargs):
+        counts["n"] += 1
+        return orig(*args, **kwargs)
+
+    model.decode = wrapped
+    return counts
+
+
+def test_temperature_ladder_parity(pair):
+    """Segment-exact parity THROUGH the fallback ladder (reference
+    transcribe.py:184-224 vs whisper_tpu/transcribe.py decode_with_fallback).
+
+    logprob_threshold=10.0 is unsatisfiable (avg_logprob <= 0), so every
+    window fails its first decode and walks the ladder; temperature
+    (0.0, 0.0) keeps the retry deterministic, so the ladder semantics
+    (exhausted -> return the LAST result) must produce identical segments.
+    Decode-call counters on both sides prove >= 2 temperatures ran.
+    """
+    ref_model, model = pair
+    audio = whisper_tpu.load_audio(JFK)
+    kw = dict(
+        language="en", temperature=(0.0, 0.0), verbose=None, fp16=False,
+        logprob_threshold=10.0, compression_ratio_threshold=None,
+        no_speech_threshold=None, condition_on_previous_text=False,
+    )
+    ref_counts = _count_decodes(ref_model)
+    jx_counts = _count_decodes(model)
+    try:
+        ref_result = ref_model.transcribe(audio.copy(), **kw)
+        result = model.transcribe(audio, **kw)
+    finally:
+        del ref_model.decode, model.decode  # unwrap the instance shadows
+    n_windows = len({s["seek"] for s in ref_result["segments"]}) or 1
+    assert ref_counts["n"] >= 2 * n_windows  # the reference walked the ladder
+    assert jx_counts["n"] >= 2 * n_windows  # and so did we
+    _compare(ref_result, result)
+
+
+def test_temperature_ladder_decision_parity_sampled(pair):
+    """At a sampled retry temperature tokens can't match across RNGs, but
+    the ladder DECISION must: with an unsatisfiable compression-ratio gate
+    (any ratio > 0.0 fails) and ladder (0.0, 0.5), both implementations
+    must land every segment on temperature 0.5."""
+    ref_model, model = pair
+    audio = whisper_tpu.load_audio(JFK)
+    kw = dict(
+        language="en", temperature=(0.0, 0.5), verbose=None, fp16=False,
+        compression_ratio_threshold=0.0, logprob_threshold=None,
+        no_speech_threshold=None, condition_on_previous_text=False,
+    )
+    ref_result = ref_model.transcribe(audio.copy(), **kw)
+    result = model.transcribe(audio, **kw)
+    assert ref_result["segments"] and result["segments"]
+    assert all(s["temperature"] == 0.5 for s in ref_result["segments"])
+    assert all(s["temperature"] == 0.5 for s in result["segments"])

@@ -11,6 +11,7 @@ results back into ranked ``DecodingResult`` objects (including the beam
 finalize/tie-break semantics of reference decoding.py:384-404,190-213).
 """
 
+import warnings
 from dataclasses import dataclass, field, replace
 from functools import lru_cache
 from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Union
@@ -34,6 +35,12 @@ from .utils import compression_ratio
 
 if TYPE_CHECKING:
     from .models.whisper import Whisper
+
+# Backends where options.fused_step=None auto-enables the whole-step Pallas
+# kernel.  Module-level so tests can exercise the fused path (and its
+# compile-failure fallback) on CPU without forcing fused_step=True, which
+# deliberately disables the fallback.
+_FUSED_AUTO_BACKENDS = ("tpu",)
 
 
 # ---------------------------------------------------------------------------
@@ -510,23 +517,69 @@ class DecodingTask:
             )
         else:
             spec, pack = self._fused_variant(self.spec, n_audio)
-            result = decode_engine(
-                self.model.params,
-                self.model.dims,
-                spec,
-                mel,
-                initial_dev,
+            scalars = (
                 _dev_i32(self.sample_begin),
                 _dev_i32(self.sot_index),
                 _dev_i32(self.sample_len),
                 _dev_f32(self.options.temperature),
-                fargs,
-                self._rng_key(),
-                features_given=features_given,
-                fused_pack=pack,
-                forced_tokens=self._bench_forced(),
             )
+            forced = self._bench_forced()
+            try:
+                result = decode_engine(
+                    self.model.params, self.model.dims, spec, mel,
+                    initial_dev, *scalars, fargs, self._rng_key(),
+                    features_given=features_given, fused_pack=pack,
+                    forced_tokens=forced,
+                )
+            except Exception as exc:
+                # Kernel-failure fallback (reference parity: whisper/
+                # timing.py:36-45,142-149 fall back Triton -> CPU on
+                # RuntimeError).  An auto-selected fused-step kernel that
+                # fails to compile or run (Mosaic/VMEM limits are toolchain-
+                # sensitive — BENCH_r04 died exactly here) must degrade to
+                # the equivalence-tested XLA engine, not kill the decode.
+                # An EXPLICIT options.fused_step=True re-raises: tests and
+                # kernel work want the real error.
+                if not spec.fused_step or self.options.fused_step is True:
+                    raise
+                self._mark_fused_failed(n_audio, exc)
+                result = decode_engine(
+                    self.model.params, self.model.dims, self.spec, mel,
+                    initial_dev, *scalars, fargs, self._rng_key(),
+                    features_given=features_given, fused_pack=None,
+                    forced_tokens=forced,
+                )
         return self._assemble(result, languages, language_probs, n_audio)
+
+    def _fused_fail_key(self, n_audio: int):
+        """Signature under which a fused-kernel failure is remembered: the
+        things that change the compiled kernel (row count / group size /
+        context bucket / weight+cache dtypes)."""
+        from .quantize import is_quantized
+
+        return (
+            n_audio,
+            self.n_group,
+            self.spec.ctx_len,
+            self.spec.write_block,
+            self.spec.kv_int8,
+            is_quantized(self.model.params["decoder"]["blocks"]["q_w"]),
+        )
+
+    def _mark_fused_failed(self, n_audio: int, exc: Exception) -> None:
+        bad = getattr(self.model, "_fused_bad", None)
+        if bad is None:
+            bad = self.model._fused_bad = {}
+        key = self._fused_fail_key(n_audio)
+        if key not in bad:
+            warnings.warn(
+                "fused decode-step kernel failed to compile/run for "
+                f"batch={n_audio} group={self.n_group} "
+                f"ctx={self.spec.ctx_len}; falling back to the XLA engine "
+                f"for this configuration ({type(exc).__name__}: "
+                f"{str(exc).splitlines()[0][:200]})"
+            )
+        bad[key] = repr(exc)
 
     def _bench_forced(self):
         """Benchmark-only pinned token sequence (engine._greedy_update).
@@ -566,7 +619,15 @@ class DecodingTask:
 
         if ambient_mesh() is not None:
             return spec, None
-        if self.options.fused_step is None and jax.default_backend() != "tpu":
+        if (
+            self.options.fused_step is None
+            and jax.default_backend() not in _FUSED_AUTO_BACKENDS
+        ):
+            return spec, None
+        # a configuration that already failed to compile/run stays on the
+        # XLA engine for the model's lifetime (see _mark_fused_failed)
+        bad = getattr(self.model, "_fused_bad", None)
+        if bad and self._fused_fail_key(n_audio) in bad:
             return spec, None
         pack = getattr(self.model, "_fused_pack", None)
         if pack is None:

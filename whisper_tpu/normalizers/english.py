@@ -1,12 +1,22 @@
 """English text normalization for WER evaluation.
 
-Behavioral parity target: reference ``whisper/normalizers/english.py`` —
-the spelled-out-number → arabic transducer (english.py:12-447), the UK→US
-spelling map (english.py:450-462, driven by the same ``english.json`` asset),
-and the contraction/title expansion pipeline (english.py:465-550).  The
-number transducer here is organized as a small state machine with one handler
-per token category; its input/output behavior matches the reference's
-(validated by the golden tests in tests/test_normalizer.py).
+PROVENANCE: ``EnglishNumberNormalizer.process_words`` is DERIVED FROM the
+reference's number transducer (``whisper/normalizers/english.py:165-386``),
+behavior-preserving — same branch order, same per-category decision chain,
+cosmetically reorganized (``output()`` → ``emit()``, ``windowed`` → padded
+index loop).  This is deliberate, not an independent redesign: the
+transducer's exact quirks (suffix splitting, the ``value % 100`` carry
+rules, ``double oh seven`` nominal runs, currency reordering) ARE the WER
+evaluation spec — published WER numbers (reference
+notebooks/LibriSpeech.ipynb, BASELINE.md 4.26%) are only comparable if the
+normalizer is branch-for-branch identical, and the reference golden tests
+in tests/test_normalizer.py pin every one of those branches.  This module
+is evaluation-only: nothing on the transcription path imports it.
+
+The surrounding pieces follow the same behavioral contract: the UK→US
+spelling map (reference english.py:450-462, driven by the identical
+``english.json`` asset) and the contraction/title expansion pipeline
+(reference english.py:465-550).
 """
 
 import json

@@ -48,6 +48,7 @@ in XLA and writing it here would force a full cache copy through VMEM).
 """
 
 import os
+import warnings
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -59,18 +60,76 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 _TA_CHUNK = 512  # cross-attention time-chunk width (lane-aligned)
 
+# Per-kernel scoped-VMEM ceiling.  v5e VMEM is 128 MiB; Mosaic needs its own
+# stack headroom on top of the block/scratch demand, so the kernel never
+# requests more than this — block shapes (SG/CG/ta_chunk) shrink instead.
+_VMEM_CEIL = int(os.environ.get("WHISPER_TPU_FUSED_VMEM_CEIL_MB", "100")) * 2**20
+# Slack on top of the tile-padded block demand: Mosaic internals (semaphores,
+# copy descriptors, spills).  BENCH_r04 proved 8 MB over a *raw* byte estimate
+# is not enough (the padded demand came in 1.65 MB over); measured on the
+# failing config, the compiler's true scoped demand sits ~5 MB above the
+# padded block sum, so 12 MB leaves ~7 MB of toolchain-drift headroom while
+# staying far below the 128 MB physical VMEM.
+_VMEM_SLACK = 12 * 2**20
+
 
 def _group_env(var: str, n: int, default_cap: int) -> int:
-    """Rows/audios per phase: the env override if it divides n, else the
-    largest divisor of n that is <= default_cap."""
+    """Rows/audios per phase: the env override if it is a positive divisor of
+    n, else the largest divisor of n that is <= default_cap.  A set-but-unused
+    override warns instead of being silently discarded."""
     env = int(os.environ.get(var, "0"))
-    if env and n % env == 0:
+    if env > 0 and n % env == 0:
         return env
+    if env:
+        warnings.warn(
+            f"{var}={env} ignored: must be a positive divisor of {n}",
+            stacklevel=2,
+        )
     g = 1
     for d in range(1, min(n, default_cap) + 1):
         if n % d == 0:
             g = d
     return g
+
+
+def _block_bytes(shape, dtype) -> int:
+    """VMEM bytes of one block, padded to Mosaic's tile layout.
+
+    Mosaic lays the last two dims out in (sublane, 128) tiles where the
+    sublane multiple is 8 for 4-byte, 16 for 2-byte and 32 for 1-byte
+    element types (the ``T(8,128)(2,1)`` layouts in compiler dumps); leading
+    dims are untiled.  Summing raw ``prod(shape) * itemsize`` undercounts
+    narrow-minor blocks — e.g. an (H, D, B) f32 buffer at B=16 really
+    occupies H*D*128 lanes — which is exactly how the round-4 hand-summed
+    budget came in 1.65 MB short of the compiler's scoped demand
+    (BENCH_r04.json).
+    """
+    itemsize = np.dtype(dtype).itemsize
+    sub = {4: 8, 2: 16, 1: 32}[itemsize]
+    dims = [int(d) for d in shape]
+    if len(dims) == 1:
+        dims = [1] + dims
+    dims[-1] = -(-dims[-1] // 128) * 128
+    dims[-2] = -(-dims[-2] // sub) * sub
+    n = 1
+    for d in dims:
+        n *= d
+    return n * itemsize
+
+
+def _next_smaller_divisor(g: int, n: int) -> Optional[int]:
+    for d in range(g - 1, 0, -1):
+        if n % d == 0:
+            return d
+    return None
+
+
+def _next_smaller_chunk(tc: int, ta_pad: int) -> Optional[int]:
+    """Largest lane-aligned (multiple-of-128) divisor of ta_pad below tc."""
+    for cand in range(tc - 128, 127, -128):
+        if ta_pad % cand == 0:
+            return cand
+    return None
 
 # weight tile order in the packed (L, 14, C, C) buffer
 _T_Q, _T_K, _T_V, _T_O, _T_XQ, _T_XO = 0, 1, 2, 3, 4, 5
@@ -278,6 +337,43 @@ def fused_decoder_layers(
     assert not (has_pending and B > 1 and not multi), (
         "pending KV blocks: B=1 or per-row multi-audio only"
     )
+    W = pend_k.shape[-1] if has_pending else 0
+
+    def vmem_demand(sg, cg, tc):
+        """Tile-padded scoped-VMEM bytes the kernel will ask Mosaic for:
+        2x every double-buffered input/output block + scratch + slack."""
+        sg_rows = sg if multi else B
+        buffered = [
+            ((B, C), cdtype),  # x
+            ((1, 1, C, C), pack.w.dtype),  # weight tile
+            ((1, 1, 1, C), jnp.float32),  # weight scales
+            ((1, 1, 16 * C), jnp.float32),  # consts
+            ((1, sg_rows, H, D, T), self_k.dtype),  # self k block
+            ((1, sg_rows, H, D, T), self_v.dtype),
+            ((1, cg, H, D, tc), xk.dtype),  # cross k chunk
+            ((1, cg, H, D, tc), xv.dtype),
+            ((1, H, D, A), jnp.float32),  # xk_s
+            ((1, H, D, A), jnp.float32),
+            ((B, C), cdtype),  # out
+            ((1, B, C), cdtype),  # k_new
+            ((1, B, C), cdtype),  # v_new
+        ]
+        if has_pending:
+            buffered += [((1, sg_rows, H, D, max(W, 1)), cdtype)] * 2
+        scratch = [
+            ((B, C), cdtype), ((B, C), cdtype), ((B, C), cdtype),  # xres/hbuf/qbuf
+            ((2, B, C), cdtype),  # kvbuf
+            ((B, 4 * C), cdtype),  # fbuf
+            ((B, C), jnp.float32),  # facc
+            ((H, B, 128), jnp.float32), ((H, B, 128), jnp.float32),  # mrow/lrow
+            ((H, D, B), jnp.float32), ((H, D, B), cdtype),  # xacc/qcol
+        ]
+        return (
+            sum(2 * _block_bytes(s, d) for s, d in buffered)
+            + sum(_block_bytes(s, d) for s, d in scratch)
+            + _VMEM_SLACK
+        )
+
     # cross-attention chunk width: the single-row bf16-weights + pending
     # config would exceed the default VMEM budget at 512 (weight tiles
     # 6.6 MB double-buffered + pending blocks); int8 weights leave headroom,
@@ -292,9 +388,34 @@ def fused_decoder_layers(
     if multi:
         SG = _group_env("WHISPER_TPU_FUSED_SG", B, 8)
         CG = _group_env("WHISPER_TPU_FUSED_CG", A, 2)
-        ta_chunk = int(os.environ.get("WHISPER_TPU_FUSED_TC", "0")) or Ta_pad
-        if Ta_pad % ta_chunk:
+        tc_env = int(os.environ.get("WHISPER_TPU_FUSED_TC", "0"))
+        ta_chunk = tc_env or Ta_pad
+        if ta_chunk <= 0 or Ta_pad % ta_chunk:
+            if tc_env:
+                warnings.warn(
+                    f"WHISPER_TPU_FUSED_TC={tc_env} ignored: must be a "
+                    f"positive divisor of Ta_pad={Ta_pad}",
+                    stacklevel=2,
+                )
             ta_chunk = Ta_pad
+        # shrink the block set until the tile-padded demand fits the device
+        # ceiling: big cross chunks first (they dominate and NTA>1 is
+        # measured free), then self groups, then cross groups, then chunks
+        # below the 512 baseline as a last resort
+        while vmem_demand(SG, CG, ta_chunk) > _VMEM_CEIL:
+            if ta_chunk > _TA_CHUNK and (nc := _next_smaller_chunk(ta_chunk, Ta_pad)):
+                ta_chunk = nc
+                continue
+            if SG > 1:
+                SG = _next_smaller_divisor(SG, B)
+                continue
+            if CG > 1:
+                CG = _next_smaller_divisor(CG, A)
+                continue
+            if nc := _next_smaller_chunk(ta_chunk, Ta_pad):
+                ta_chunk = nc
+                continue
+            break  # minimal block set; leave the verdict to the compiler
     elif has_pending and pack.w.dtype != jnp.int8 and not x_int8:
         SG = CG = 1
         ta_chunk = 256
@@ -345,8 +466,6 @@ def fused_decoder_layers(
         # [g*SG, (g+1)*SG)'s cache block (block index in SG-row units);
         # clipped constant elsewhere so no spurious refetch
         return (l, jnp.clip(c - 3, 0, n_self - 1), 0, 0, 0)
-
-    W = pend_k.shape[-1] if has_pending else 0
 
     def _kernel_body(
         t_ref,  # SMEM (1+B,): [valid pending cols, per-row cache boundaries]
@@ -843,23 +962,13 @@ def fused_decoder_layers(
             (1, B, H, D, W or 1), lambda l, c: (l, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-    # VMEM budget: sum of double-buffered input blocks + outputs + scratch,
-    # with slack for Mosaic internals.  The v5e accepts budgets well above
-    # the 16 MB planning default; the grouped multi layout needs ~45-70 MB.
-    cdsz = np.dtype(cdtype).itemsize
-    wsz = np.dtype(pack.w.dtype).itemsize
-    xsz = np.dtype(xk.dtype).itemsize
-    sg_rows = SG if multi else B  # self/pending block rows
-    vmem_budget = (
-        2 * C * C * wsz  # weight tile, double-buffered
-        + 2 * 2 * sg_rows * H * D * T * cdsz  # self k+v blocks
-        + 2 * 2 * CG * H * D * ta_chunk * xsz  # cross k+v chunks
-        + 2 * 2 * sg_rows * H * D * max(W, 1) * cdsz  # pending blocks
-        + 2 * 2 * H * D * A * 4  # scales
-        + (10 * B * C + B * 4 * C) * 4  # scratch + in/out (f32 upper bound)
-        + 8 * 1024 * 1024  # slack (consts, semaphores, Mosaic internals)
+    # VMEM budget: the tile-padded demand of the chosen block set (the
+    # shrink loop above already guarantees demand <= _VMEM_CEIL).  The v5e
+    # accepts budgets well above the 16 MB planning default; the grouped
+    # multi layout needs ~45-80 MB.
+    vmem_budget = min(
+        max(vmem_demand(SG, CG, ta_chunk), 48 * 1024 * 1024), _VMEM_CEIL
     )
-    vmem_budget = max(vmem_budget, 48 * 1024 * 1024)
     if os.environ.get("WHISPER_TPU_FUSED_DEBUG"):
         print(
             f"fused_step: B={B} A={A} T={T} Ta_pad={Ta_pad} W={W} "
