@@ -469,3 +469,104 @@ def test_fused_explicit_true_reraises(params, mel, monkeypatch):
     with pytest.raises(RuntimeError, match="mosaic lowering failed"):
         task.run(mel)
     assert not getattr(m, "_fused_bad", None)  # no verdict cached
+
+
+# ---------------------------------------------------------------------------
+# VMEM budget machinery (the round-4 bench crash class).
+# ---------------------------------------------------------------------------
+
+
+def test_block_bytes_tile_padding():
+    """Mosaic pads the last two dims to (sublane, 128) tiles with the
+    sublane multiple set by element width — raw prod(shape)*itemsize
+    undercounts narrow-minor blocks (how BENCH_r04's budget came in
+    1.65 MB short)."""
+    from whisper_tpu.ops.kernels import fused_step_pallas as fsp
+
+    # narrow minor dim: (H, D, B) f32 at B=16 pads 16 -> 128 lanes
+    assert fsp._block_bytes((20, 64, 16), jnp.float32) == 20 * 64 * 128 * 4
+    # bf16 sublane multiple is 16: second-to-minor 20 -> 32
+    assert fsp._block_bytes((20, 1280), jnp.bfloat16) == 32 * 1280 * 2
+    # int8 sublane multiple is 32
+    assert fsp._block_bytes((8, 256), jnp.int8) == 32 * 256
+    # 1-D shapes get a leading sublane dim
+    assert fsp._block_bytes((300,), jnp.float32) == 8 * 384 * 4
+    # already tile-aligned: exact
+    assert fsp._block_bytes((8, 128), jnp.float32) == 8 * 128 * 4
+
+
+def test_shrink_blocks_order_and_termination():
+    """The shrink loop reduces cross chunks first (down to the 512
+    baseline), then self groups, then cross groups, then chunks below the
+    baseline — and always terminates at the minimal set."""
+    from whisper_tpu.ops.kernels.fused_step_pallas import _shrink_blocks
+
+    B, A, Ta_pad = 16, 16, 1536
+
+    # fits immediately: untouched
+    assert _shrink_blocks(
+        lambda sg, cg, tc: 1, B, A, Ta_pad, 8, 2, 1536, ceil=100
+    ) == (8, 2, 1536)
+
+    # demand dominated by tc: only the chunk shrinks (1536 -> 512 baseline)
+    sg, cg, tc = _shrink_blocks(
+        lambda sg, cg, tc: tc, B, A, Ta_pad, 8, 2, 1536, ceil=600
+    )
+    assert (sg, cg, tc) == (8, 2, 512)
+
+    # tc at baseline, still too big: SG shrinks next (divisors of B)
+    sg, cg, tc = _shrink_blocks(
+        lambda sg, cg, tc: sg * 100, B, A, Ta_pad, 8, 2, 512, ceil=250
+    )
+    assert (sg, cg, tc) == (2, 2, 512)
+
+    # then CG, then sub-baseline chunks; impossible demand terminates at
+    # the minimal block set instead of looping forever
+    sg, cg, tc = _shrink_blocks(
+        lambda sg, cg, tc: 10**9, B, A, Ta_pad, 8, 2, 1536, ceil=1
+    )
+    assert (sg, cg, tc) == (1, 1, 128)
+
+
+@pytest.mark.parametrize("ceil_mb", [40, 24])
+def test_fused_multi_parity_under_small_vmem_ceiling(
+    params, feats, monkeypatch, ceil_mb
+):
+    """Shrunken block sets (small SG/CG/ta_chunk) still compute the exact
+    same step as the XLA path: the auto-shrink can change performance but
+    never results."""
+    from whisper_tpu.ops.kernels import fused_step_pallas as fsp
+
+    monkeypatch.setattr(fsp, "_VMEM_CEIL", ceil_mb * 2**20)
+
+    A = 4
+    feats4 = jnp.concatenate(
+        [feats * s for s in (1.0, 0.7, -0.4, 1.3)], axis=0
+    )
+    xk, xv = compute_cross_kv(params, DIMS, feats4)
+    T = 64
+    positions = [7, 12, 3, 30]
+    t_rows = jnp.asarray(positions, jnp.int32)
+    cache = init_kv_cache(DIMS, A, xk, xv, jnp.float32, ctx=T)
+    rng = np.random.RandomState(4)
+    sk = rng.randn(*cache.self_k.shape).astype(np.float32) * 0.1
+    sv = rng.randn(*cache.self_v.shape).astype(np.float32) * 0.1
+    for b, tb in enumerate(positions):
+        sk[:, b, ..., tb:] = 0
+        sv[:, b, ..., tb:] = 0
+    cache = cache._replace(self_k=jnp.asarray(sk), self_v=jnp.asarray(sv))
+
+    tokens = jnp.asarray([42, 7, 300, 1999], jnp.int32)
+    hid_ref, cache_ref = decoder_step(params, DIMS, tokens, t_rows, cache)
+
+    pack = pack_fused_weights(params, DIMS)
+    xkp, xvp, xks, xvs = pad_cross_kv(xk, xv)
+    hid, cache_f = decoder_step_fused(
+        params, pack, DIMS, tokens, t_rows, cache, xkp, xvp, xks, xvs
+    )
+    np.testing.assert_allclose(
+        np.asarray(hid), np.asarray(hid_ref), atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_f.self_k), np.asarray(cache_ref.self_k), atol=1e-5
+    )

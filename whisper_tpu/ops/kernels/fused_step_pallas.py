@@ -131,6 +131,34 @@ def _next_smaller_chunk(tc: int, ta_pad: int) -> Optional[int]:
             return cand
     return None
 
+
+def _shrink_blocks(demand, B: int, A: int, ta_pad: int,
+                   sg: int, cg: int, tc: int, ceil: int) -> Tuple[int, int, int]:
+    """Shrink the multi-audio block set until ``demand(sg, cg, tc) <= ceil``.
+
+    Order: big cross chunks first (they dominate VMEM and NTA>1 is measured
+    free), then self groups, then cross groups, then chunks below the
+    _TA_CHUNK baseline as a last resort.  Terminates at the minimal set
+    (sg=1, cg=1, tc=128) even if demand still exceeds the ceiling — the
+    compiler gets the final verdict there (and the engine-level fallback
+    catches it if it refuses).
+    """
+    while demand(sg, cg, tc) > ceil:
+        if tc > _TA_CHUNK and (nc := _next_smaller_chunk(tc, ta_pad)):
+            tc = nc
+            continue
+        if sg > 1:
+            sg = _next_smaller_divisor(sg, B)
+            continue
+        if cg > 1:
+            cg = _next_smaller_divisor(cg, A)
+            continue
+        if nc := _next_smaller_chunk(tc, ta_pad):
+            tc = nc
+            continue
+        break  # minimal block set; leave the verdict to the compiler
+    return sg, cg, tc
+
 # weight tile order in the packed (L, 14, C, C) buffer
 _T_Q, _T_K, _T_V, _T_O, _T_XQ, _T_XO = 0, 1, 2, 3, 4, 5
 _T_FC1 = 6  # 6..9: fc1 column blocks
@@ -398,24 +426,9 @@ def fused_decoder_layers(
                     stacklevel=2,
                 )
             ta_chunk = Ta_pad
-        # shrink the block set until the tile-padded demand fits the device
-        # ceiling: big cross chunks first (they dominate and NTA>1 is
-        # measured free), then self groups, then cross groups, then chunks
-        # below the 512 baseline as a last resort
-        while vmem_demand(SG, CG, ta_chunk) > _VMEM_CEIL:
-            if ta_chunk > _TA_CHUNK and (nc := _next_smaller_chunk(ta_chunk, Ta_pad)):
-                ta_chunk = nc
-                continue
-            if SG > 1:
-                SG = _next_smaller_divisor(SG, B)
-                continue
-            if CG > 1:
-                CG = _next_smaller_divisor(CG, A)
-                continue
-            if nc := _next_smaller_chunk(ta_chunk, Ta_pad):
-                ta_chunk = nc
-                continue
-            break  # minimal block set; leave the verdict to the compiler
+        SG, CG, ta_chunk = _shrink_blocks(
+            vmem_demand, B, A, Ta_pad, SG, CG, ta_chunk, _VMEM_CEIL
+        )
     elif has_pending and pack.w.dtype != jnp.int8 and not x_int8:
         SG = CG = 1
         ta_chunk = 256
