@@ -177,6 +177,16 @@ def run_config(
             long_requests=1, long_seconds=405.0, batch_size=batch,
             tokens=tokens, quiet=True,
         )
+        if out["errors"]:
+            # failed requests deflate the serving RTF silently (total audio
+            # counts successes, wall time counts everything) — that is a
+            # FAILED row under the per-row fault-isolation contract, not a
+            # measurement
+            raise RuntimeError(
+                f"serve_loopback: {out['errors']} of "
+                f"{out['errors'] + out['n_requests']} requests failed: "
+                f"{out['error_tails'][:3]}"
+            )
         extras = {
             k: out[k]
             for k in (
@@ -443,7 +453,20 @@ def run_suite(repeats):
 
     measured = [r for r in rows if "error" not in r]
     if headline is None and measured:
-        headline = max(measured, key=lambda r: r["vs_baseline"])
+        # the fallback headline must stay COMPARABLE to the designated row:
+        # vs_baseline is "x the A100 large-v3 reference", so a tiny/turbo
+        # row surviving a large-v3 crash must not publish a ~400x headline
+        # a driver would read against the >=8x north star.  Prefer
+        # surviving large-v3 rows in suite order; only if NONE survived
+        # fall back to the best remaining row (and say so).
+        comparable = [
+            r for r in measured
+            if "large_v3" in r["metric"] and "turbo" not in r["metric"]
+        ]
+        headline = (
+            comparable[0] if comparable
+            else max(measured, key=lambda r: r["vs_baseline"])
+        )
     out = {
         "rows": rows,
         "errors": len(rows) - len(measured),

@@ -119,7 +119,7 @@ def run_loadtest(
             (rng.randn(int(16000 * long_seconds)) * 0.1 * 32768.0).astype(
                 np.int16
             )
-        )
+        ) if long_requests else b""
 
         def post(path: str, body: bytes) -> dict:
             req = urllib.request.Request(
@@ -221,6 +221,8 @@ def run_loadtest(
         "p50_long_s": round(_pct(lat["long"], 0.5), 3) if n_long else None,
         "occupancy": round(submitted / batches, 2) if batches else None,
         "errors": len(errors),
+        "error_tails": errors[:5],
+        "n_requests": n_short + n_long,
     }
 
 

@@ -223,26 +223,33 @@ def _librispeech_items(root: str, limit: int):
     return [(whisper_tpu.load_audio(flac), ref) for flac, ref in pairs]
 
 
-def validate_librispeech(model, root: str, limit: int) -> None:
-    """Greedy WER over a LibriSpeech-format directory tree."""
+def validate_librispeech(model, root: str, limit: int):
+    """Greedy WER over a LibriSpeech-format directory tree.  Returns the
+    ``evaluate_batched`` report (or None when skipped) so the int8 gate can
+    reuse the bf16 corpus decode instead of repeating it."""
     from whisper_tpu.evaluation import evaluate_batched
 
     items = _librispeech_items(root, limit)
     if not items:
         print(f"SKIP librispeech: no .trans.txt under {root}")
-        return
+        return None
     report = evaluate_batched(model, items, language="en", without_timestamps=True)
     print(
         f"OK librispeech ({len(items)} utts): WER {report['wer'] * 100:.2f}% "
         f"(reference base.en test-clean: 4.26%)"
     )
+    return report
 
 
-def validate_int8_gate(model, qmodel, root: str, limit: int, qname: str) -> bool:
+def validate_int8_gate(model, qmodel, root: str, limit: int, qname: str,
+                       bf16_report=None) -> bool:
     """The int8 acceptance gate behind the beam-5 serving default
     (evaluation.int8_wer_gate): int8 corpus WER may exceed bf16 by at most
     INT8_WER_GATE_MAX_DELTA absolute, on the same utterances.  Prints
-    PASS/FAIL; FAIL means the documented int8 default must revert to bf16.
+    PASS/FAIL; FAIL means the documented int8 default must revert to bf16
+    — and main() exits nonzero so CI gating on this command sees it.
+    ``bf16_report`` reuses validate_librispeech's corpus decode (same
+    items) instead of decoding the bf16 corpus a second time.
     """
     from whisper_tpu.evaluation import int8_wer_gate
 
@@ -250,7 +257,9 @@ def validate_int8_gate(model, qmodel, root: str, limit: int, qname: str) -> bool
     if not items:
         print(f"SKIP int8 gate: no .trans.txt under {root}")
         return True
-    gate = int8_wer_gate(model, qmodel, items, language="en")
+    gate = int8_wer_gate(
+        model, qmodel, items, language="en", bf16_report=bf16_report
+    )
     verdict = "PASS" if gate["passed"] else "FAIL"
     print(
         f"{verdict} int8 WER gate ({qname}, {gate['n_utterances']} utts): "
@@ -364,6 +373,7 @@ def main():
 
     names = whisper_tpu.available_models() if args.all else [args.model]
     ran = 0
+    gates_failed = 0
     for name in names:
         if not checkpoint_cached(name, download_root):
             print(f"SKIP {name}: no cached checkpoint under {download_root}")
@@ -372,8 +382,9 @@ def main():
         validate_jfk(model, name)  # config #1/#4: transcript + word timing
         validate_translate_beam(model, name)  # config #2
         validate_longform(model, name, args.longform_audio)  # config #3
+        bf16_report = None
         if args.librispeech:
-            validate_librispeech(model, args.librispeech, args.limit)
+            bf16_report = validate_librispeech(model, args.librispeech, args.limit)
         if args.quantize:
             qmodel = whisper_tpu.load_model(
                 name, download_root=download_root, quantize=args.quantize
@@ -382,10 +393,20 @@ def main():
             validate_jfk(qmodel, qname)
             validate_quantized_agreement(model, qmodel, qname)
             if args.librispeech:
-                validate_int8_gate(model, qmodel, args.librispeech, args.limit, qname)
+                if not validate_int8_gate(
+                    model, qmodel, args.librispeech, args.limit, qname,
+                    bf16_report=bf16_report,
+                ):
+                    gates_failed += 1
         ran += 1
     if ran == 0:
         print("SKIP: no cached checkpoints found; nothing validated (offline?)")
+    if gates_failed:
+        # a FAILED acceptance gate must fail the command: CI gating the
+        # int8 beam-5 serving default on this exit status depends on it
+        print(f"FAILED: {gates_failed} int8 WER gate(s) rejected — revert "
+              "the int8 serving default to bf16")
+        return 1
     return 0
 
 

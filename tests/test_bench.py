@@ -26,7 +26,8 @@ def fake_rows(monkeypatch):
             raise RuntimeError("Ran out of memory in memory space vmem (test)")
         if cfg.get("serve"):  # serve rows return (metric, [rtf], extras)
             return "serve_loopback_rtf", [cfg["rtf"]], {"req_per_s": 5.0}
-        return f"rtf_test_b{cfg.get('batch', 1)}", [float(cfg["rtf"])] * repeats
+        metric = cfg.get("metric", f"rtf_test_b{cfg.get('batch', 1)}")
+        return metric, [float(cfg["rtf"])] * repeats
 
     monkeypatch.setattr(bench, "run_config", fake_run_config)
     return fake_run_config
@@ -72,6 +73,39 @@ def test_suite_headline_falls_back_to_best_survivor(fake_rows, monkeypatch, caps
     assert rc == 0
     assert out["value"] == 80.0
     assert "best surviving row" in out["headline_note"]
+
+
+def test_suite_headline_fallback_prefers_comparable_rows(
+    fake_rows, monkeypatch, capsys
+):
+    """When the designated headline row fails, the fallback must stay
+    COMPARABLE (a large-v3 row), never a tiny/turbo row whose vs_baseline
+    against the A100 *large-v3* reference would read as a wildly inflated
+    north-star pass."""
+    rc, out = _run_suite(
+        monkeypatch, capsys,
+        suite=[
+            ("b1_bf16", dict(rtf=80.0, metric="rtf_large_v3_greedy_b1")),
+            ("b16_bf16", dict(fail=True)),
+            ("turbo_b16", dict(rtf=800.0, metric="rtf_large_v3_turbo_greedy_b16")),
+            ("tiny_b16", dict(rtf=4600.0, metric="rtf_tiny_greedy_b16")),
+        ],
+        headline="b16_bf16",
+    )
+    assert rc == 0
+    assert out["metric"] == "rtf_large_v3_greedy_b1" and out["value"] == 80.0
+    assert "best surviving row" in out["headline_note"]
+
+    # only non-comparable rows survive: fall back to the best of them
+    rc, out = _run_suite(
+        monkeypatch, capsys,
+        suite=[
+            ("b16_bf16", dict(fail=True)),
+            ("tiny_b16", dict(rtf=4600.0, metric="rtf_tiny_greedy_b16")),
+        ],
+        headline="b16_bf16",
+    )
+    assert rc == 0 and out["metric"] == "rtf_tiny_greedy_b16"
 
 
 def test_suite_all_rows_failed(fake_rows, monkeypatch, capsys):

@@ -471,6 +471,65 @@ def test_fused_explicit_true_reraises(params, mel, monkeypatch):
     assert not getattr(m, "_fused_bad", None)  # no verdict cached
 
 
+def test_fused_explicit_true_bypasses_failure_cache(params, mel, monkeypatch):
+    """A cached auto-mode failure must NOT reroute an explicit
+    fused_step=True around the kernel: its contract is 'give me the kernel
+    and its real error', which is how kernel bugs get reproduced after the
+    auto path has degraded."""
+    from whisper_tpu.ops.kernels import fused_step_pallas
+
+    m = Whisper(DIMS, params)
+    task_true = DecodingTask(
+        m, DecodingOptions(language="en", sample_len=2, fused_step=True)
+    )
+    # pre-poison the failure cache exactly as an auto-mode failure would
+    m._fused_bad = {task_true._fused_fail_key(1): "RuntimeError (earlier)"}
+
+    spec, pack = task_true._fused_variant(task_true.spec, 1)
+    assert spec.fused_step and pack is not None  # cache did not reroute
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic lowering failed (test)")
+
+    monkeypatch.setattr(fused_step_pallas, "fused_decoder_layers", boom)
+    jax.clear_caches()
+    with pytest.raises(RuntimeError, match="mosaic lowering failed"):
+        task_true.run(mel)
+
+
+def test_fused_compile_failure_falls_back_run_with_prompts(
+    params, mel, monkeypatch
+):
+    """The fallback covers run_with_prompts too — the engine path behind
+    transcribe_batch and the serving layer, where a fused compile failure
+    previously killed the request instead of degrading."""
+    import whisper_tpu.decoding as decoding_mod
+    from whisper_tpu.ops.kernels import fused_step_pallas
+
+    m = Whisper(DIMS, params)
+    base = DecodingOptions(language="en", temperature=0.0, sample_len=6)
+    prompts = [[token] for token in (42,)]
+    plain = DecodingTask(
+        m, dataclasses.replace(base, fused_step=False)
+    ).run_with_prompts(mel, prompts)
+
+    monkeypatch.setattr(decoding_mod, "_FUSED_AUTO_BACKENDS", ("tpu", "cpu"))
+
+    def boom(*a, **k):
+        raise RuntimeError(
+            "Ran out of memory in memory space vmem while allocating (test)"
+        )
+
+    monkeypatch.setattr(fused_step_pallas, "fused_decoder_layers", boom)
+    jax.clear_caches()
+
+    task = DecodingTask(m, base)
+    with pytest.warns(UserWarning, match="falling back to the XLA engine"):
+        result = task.run_with_prompts(mel, prompts)
+    assert result[0].tokens == plain[0].tokens
+    assert m._fused_bad  # verdict cached for the serving path's config
+
+
 # ---------------------------------------------------------------------------
 # VMEM budget machinery (the round-4 bench crash class).
 # ---------------------------------------------------------------------------

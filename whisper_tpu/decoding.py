@@ -516,40 +516,62 @@ class DecodingTask:
                 force_accept=getattr(self, "_force_accept", False),
             )
         else:
-            spec, pack = self._fused_variant(self.spec, n_audio)
-            scalars = (
-                _dev_i32(self.sample_begin),
-                _dev_i32(self.sot_index),
-                _dev_i32(self.sample_len),
-                _dev_f32(self.options.temperature),
+            result = self._engine_with_fused_fallback(
+                self.spec, n_audio,
+                (
+                    mel, initial_dev,
+                    _dev_i32(self.sample_begin),
+                    _dev_i32(self.sot_index),
+                    _dev_i32(self.sample_len),
+                    _dev_f32(self.options.temperature),
+                    fargs, self._rng_key(),
+                ),
+                dict(
+                    features_given=features_given,
+                    forced_tokens=self._bench_forced(),
+                ),
             )
-            forced = self._bench_forced()
-            try:
-                result = decode_engine(
-                    self.model.params, self.model.dims, spec, mel,
-                    initial_dev, *scalars, fargs, self._rng_key(),
-                    features_given=features_given, fused_pack=pack,
-                    forced_tokens=forced,
-                )
-            except Exception as exc:
-                # Kernel-failure fallback (reference parity: whisper/
-                # timing.py:36-45,142-149 fall back Triton -> CPU on
-                # RuntimeError).  An auto-selected fused-step kernel that
-                # fails to compile or run (Mosaic/VMEM limits are toolchain-
-                # sensitive — BENCH_r04 died exactly here) must degrade to
-                # the equivalence-tested XLA engine, not kill the decode.
-                # An EXPLICIT options.fused_step=True re-raises: tests and
-                # kernel work want the real error.
-                if not spec.fused_step or self.options.fused_step is True:
-                    raise
-                self._mark_fused_failed(n_audio, exc)
-                result = decode_engine(
-                    self.model.params, self.model.dims, self.spec, mel,
-                    initial_dev, *scalars, fargs, self._rng_key(),
-                    features_given=features_given, fused_pack=None,
-                    forced_tokens=forced,
-                )
         return self._assemble(result, languages, language_probs, n_audio)
+
+    def _engine_with_fused_fallback(self, base_spec, n_audio, args, kwargs):
+        """decode_engine with the fused whole-step kernel when eligible,
+        degrading to the XLA engine if an AUTO-selected kernel fails.
+
+        Kernel-failure fallback (reference parity: whisper/timing.py:36-45,
+        142-149 fall back Triton -> CPU on RuntimeError).  A fused-step
+        kernel that fails to compile or run (Mosaic/VMEM limits are
+        toolchain-sensitive — BENCH_r04 died exactly here) must degrade to
+        the equivalence-tested XLA engine, not kill the decode; the failed
+        configuration is remembered per model so later decodes skip the
+        kernel outright.  An EXPLICIT options.fused_step=True re-raises:
+        tests and kernel work want the real error.  Serves every engine
+        path (decode()/run() and transcribe_batch/serving via
+        run_with_prompts).
+        """
+        spec, pack = self._fused_variant(base_spec, n_audio)
+        try:
+            result = decode_engine(
+                self.model.params, self.model.dims, spec, *args,
+                fused_pack=pack, **kwargs,
+            )
+            if spec.fused_step:
+                # surface ASYNC (runtime) kernel failures inside the try —
+                # with async dispatch they would otherwise raise at the
+                # device_get in _assemble, outside any fallback.  No real
+                # cost: _assemble fetches these buffers to host immediately
+                # after.  (Where block_until_ready is a no-op — remote
+                # attachments — compile failures, the BENCH_r04 class, are
+                # still synchronous and still caught here.)
+                jax.block_until_ready(result)
+            return result
+        except Exception as exc:
+            if not spec.fused_step or self.options.fused_step is True:
+                raise
+            self._mark_fused_failed(n_audio, exc)
+            return decode_engine(
+                self.model.params, self.model.dims, base_spec, *args,
+                fused_pack=None, **kwargs,
+            )
 
     def _fused_fail_key(self, n_audio: int):
         """Signature under which a fused-kernel failure is remembered: the
@@ -625,10 +647,14 @@ class DecodingTask:
         ):
             return spec, None
         # a configuration that already failed to compile/run stays on the
-        # XLA engine for the model's lifetime (see _mark_fused_failed)
-        bad = getattr(self.model, "_fused_bad", None)
-        if bad and self._fused_fail_key(n_audio) in bad:
-            return spec, None
+        # XLA engine for the model's lifetime (see _mark_fused_failed) —
+        # EXCEPT under an explicit options.fused_step=True, whose contract
+        # is "give me the kernel and its real error": the cached verdict
+        # must not silently reroute the debugging escape hatch
+        if self.options.fused_step is not True:
+            bad = getattr(self.model, "_fused_bad", None)
+            if bad and self._fused_fail_key(n_audio) in bad:
+                return spec, None
         pack = getattr(self.model, "_fused_pack", None)
         if pack is None:
             from .ops.kernels.fused_step_pallas import pack_fused_weights
@@ -737,22 +763,18 @@ class DecodingTask:
                 share_encoder=self._share_encoder,
             )
         else:
-            spec, pack = self._fused_variant(spec, n_audio)
-            result = decode_engine(
-                self.model.params,
-                self.model.dims,
-                spec,
-                mel,
-                initial_dev,
-                begins_dev,
-                sots_dev,
-                _dev_i32(self.sample_len),
-                _dev_f32(self.options.temperature),
-                fargs,
-                self._rng_key(),
-                features_given=features_given,
-                fused_pack=pack,
-                forced_tokens=self._bench_forced(),
+            result = self._engine_with_fused_fallback(
+                spec, n_audio,
+                (
+                    mel, initial_dev, begins_dev, sots_dev,
+                    _dev_i32(self.sample_len),
+                    _dev_f32(self.options.temperature),
+                    fargs, self._rng_key(),
+                ),
+                dict(
+                    features_given=features_given,
+                    forced_tokens=self._bench_forced(),
+                ),
             )
         languages = [self.options.language] * n_audio
         return self._assemble(

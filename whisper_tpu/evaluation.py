@@ -164,6 +164,7 @@ def int8_wer_gate(
     items: List[Tuple[np.ndarray, str]],
     batch_size: int = 16,
     max_delta: float = INT8_WER_GATE_MAX_DELTA,
+    bf16_report: Optional[dict] = None,
     **decode_options,
 ) -> dict:
     """WER-delta acceptance gate: int8 vs bf16 on the same utterances.
@@ -171,9 +172,14 @@ def int8_wer_gate(
     Returns the two corpus WERs, the delta, and ``passed`` (int8 WER may
     not exceed bf16 WER by more than ``max_delta`` absolute).  Decode
     options default to the reference's LibriSpeech protocol (greedy,
-    without_timestamps) via ``evaluate_batched``.
+    without_timestamps) via ``evaluate_batched``.  ``bf16_report`` accepts
+    a precomputed ``evaluate_batched`` report over the SAME items (the
+    caller usually just measured corpus WER with the bf16 model) so the
+    expensive bf16 corpus decode is not repeated.
     """
-    bf16 = evaluate_batched(bf16_model, items, batch_size=batch_size, **decode_options)
+    bf16 = bf16_report or evaluate_batched(
+        bf16_model, items, batch_size=batch_size, **decode_options
+    )
     int8 = evaluate_batched(int8_model, items, batch_size=batch_size, **decode_options)
     delta = int8["wer"] - bf16["wer"]
     return {
