@@ -437,7 +437,13 @@ def run_suite(repeats):
     # surviving row; the process exits 0 if ANYTHING was measured.
     rows = []
     headline = None
-    for name, cfg in SUITE:
+    for i, (name, cfg) in enumerate(SUITE):
+        # Per-row heartbeat on stderr: if the PROCESS dies hard mid-suite
+        # (driver timeout, host OOM kill) the per-row try/except below never
+        # gets to report, but the driver's captured output tail still shows
+        # every finished row and which row was in flight.
+        print(f"[suite {i + 1}/{len(SUITE)}] {name} ...",
+              file=sys.stderr, flush=True)
         try:
             row = probed_row(name, cfg)
         except Exception:
@@ -445,6 +451,8 @@ def run_suite(repeats):
             row = {"row": name, "error": " | ".join(tail[-4:])[:800]}
             # a crashed row can leave poisoned jit caches on the live
             # backend; the next row compiles fresh programs anyway
+        print(f"[suite {i + 1}/{len(SUITE)}] {json.dumps(row)}",
+              file=sys.stderr, flush=True)
         rows.append(row)
         if name == HEADLINE_ROW and "error" not in row:
             headline = row

@@ -119,6 +119,24 @@ def test_suite_all_rows_failed(fake_rows, monkeypatch, capsys):
     assert "error" in out["rows"][0]
 
 
+def test_suite_heartbeat_lands_on_stderr(fake_rows, monkeypatch, capsys):
+    """Every finished row is echoed to stderr as it completes: if the
+    PROCESS dies hard mid-suite (driver timeout, host OOM kill) the
+    captured output tail still carries every measured row and names the
+    row that was in flight."""
+    monkeypatch.setattr(
+        bench, "SUITE",
+        [("good_a", dict(batch=1, rtf=80.0)), ("bad", dict(fail=True))],
+    )
+    monkeypatch.setattr(bench, "HEADLINE_ROW", "good_a")
+    rc = bench.run_suite(repeats=1)
+    captured = capsys.readouterr()
+    assert rc == 0 and json.loads(captured.out.strip())["value"] == 80.0
+    assert "[suite 1/2] good_a ..." in captured.err  # in-flight marker
+    assert '"median": 80.0' in captured.err  # finished row echoed
+    assert '"error"' in captured.err  # failed row echoed too
+
+
 def test_forced_tokens_pin_is_scoped():
     """run_config clears the class-level forced-token pin on ANY exit —
     including an exception mid-row — so a failed forced row can't leak its

@@ -53,6 +53,43 @@ def test_batcher_coalesces_and_matches_direct(model):
     assert stats["batches"] < 5
 
 
+def test_fill_window_reopens_when_engine_frees(model):
+    """Requests that queued DURING a decode must still get max_wait_s to
+    coalesce with client re-sends arriving just after the decode answers.
+    Their own arrival-based deadline expires inside the decode; without an
+    engine-free grace the next batch dispatches part-full an instant before
+    the re-sends land (measured occupancy 9/16 on the loopback load test)."""
+    sizes = []
+
+    with BatchingTranscriber(model, batch_size=4, max_wait_s=0.3, **OPTS) as bt:
+        real = bt._transcribe_batch
+
+        def slow(model_, audios, **kw):
+            sizes.append(sum(1 for a in audios if len(a)))
+            import time as _t
+
+            _t.sleep(0.4)
+            return [
+                {"text": "", "segments": [], "language": "en"}
+                for _ in audios
+            ]
+
+        bt._transcribe_batch = slow
+        try:
+            fut1 = bt.submit(_tone(seed=0))
+            threading.Event().wait(0.35)  # batch 1 ([fut1]) is now decoding
+            fut2 = bt.submit(_tone(seed=1))  # queue during the decode:
+            fut3 = bt.submit(_tone(seed=2))  # arrival deadline expires in it
+            fut1.result(timeout=60)
+            fut4 = bt.submit(_tone(seed=3))  # the "client re-send"
+            for f in (fut2, fut3, fut4):
+                f.result(timeout=60)
+        finally:
+            bt._transcribe_batch = real
+
+    assert sizes == [1, 3]  # not [1, 2, 1]: the re-send joined the batch
+
+
 def test_batcher_groups_by_options(model):
     with BatchingTranscriber(model, batch_size=4, max_wait_s=0.3, **OPTS) as bt:
         f1 = bt.submit(_tone(seed=1))

@@ -96,6 +96,14 @@ class BatchingTranscriber:
         self._groups: "OrderedDict[tuple, Dict[str, deque]]" = OrderedDict()
         self._cv = threading.Condition()
         self._closed = False
+        # when the engine last became free: the batch-fill wait window is
+        # measured from max(oldest request, engine free), so requests that
+        # queued DURING a decode still get max_wait_s to coalesce with the
+        # re-sends of the clients that decode just answered (without this,
+        # their deadline expires inside the decode and the next batch
+        # dispatches part-full an instant before those re-sends arrive —
+        # measured occupancy 9/16 on the closed-loop load test)
+        self._engine_free_t = 0.0
         self.stats: Dict[str, int] = {"requests": 0, "batches": 0, "errors": 0}
         self._worker = threading.Thread(
             target=self._run, name="whisper-tpu-batcher", daemon=True
@@ -273,8 +281,10 @@ class BatchingTranscriber:
                     return min(heads)
 
                 # wait for the batch to fill, up to max_wait after the
-                # group's oldest request arrived
-                deadline = oldest() + self.max_wait_s
+                # group's oldest request arrived OR the engine became free,
+                # whichever is later (see _engine_free_t above); an idle
+                # engine with a lone request still pays only max_wait_s
+                deadline = max(oldest(), self._engine_free_t) + self.max_wait_s
                 while (
                     count() < self.batch_size
                     and not self._closed
@@ -292,6 +302,7 @@ class BatchingTranscriber:
             options = dict(self.defaults)
             options.update(dict(key))
             self._dispatch(items, options)
+            self._engine_free_t = time.monotonic()
 
     def _dispatch(self, items, options):
         import contextlib
